@@ -1,0 +1,121 @@
+"""Correlation cost-volume ops (2-D for optical flow, 1-D for stereo disparity).
+
+TPU-native replacement for the reference's custom CUDA correlation package
+(SURVEY.md §3 C1, §9.2/§9.2b; flownet2-pytorch lineage, PWC-Net §3).
+
+Semantics (SURVEY.md §9.2, fixed here and guarded by golden tests):
+
+  2-D:  corr(x, o) = (1/C) * sum_c f1_c(x) * f2_c(x + o),  o in {-d..d}^2
+        output channel index k = (o_y + d) * (2d+1) + (o_x + d)
+  1-D:  corr(x, k) = (1/C) * sum_c f1_c(y, x) * f2_c(y, x - k),  k in {0..D}
+        (stereo epipolar: right-image features sampled to the LEFT)
+
+Out-of-bounds f2 samples contribute zero (zero padding). All accumulation is
+float32 regardless of input dtype; output dtype matches input dtype.
+
+Layout is NHWC (TPU-native: channels in the minor/lane dimension).
+
+Two implementations share these exact semantics:
+  * ``impl='pure'``  — jnp slicing + multiply-reduce; the differentiable
+    oracle used on CPU and in unit tests.
+  * ``impl='pallas'``— Pallas TPU kernels (fwd + two bwd kernels via
+    jax.custom_vjp) in cerberusnet_tpu.ops.pallas.correlation; reads each
+    input once into VMEM instead of materializing 81 shifted copies.
+``impl=None`` ('auto') picks pallas on TPU when the padded f2 block fits a
+conservative VMEM budget, else pure.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Conservative per-input VMEM budget for holding a full padded (H, W, C) f2
+# slab per batch element inside the kernel (v5e has ~16 MB VMEM more).
+_VMEM_BUDGET_BYTES = 6 * 1024 * 1024
+
+
+def _use_pallas(impl, f2_padded_elems, itemsize):
+    if impl == "pure":
+        return False
+    if impl == "pallas":
+        return True
+    if impl not in (None, "auto"):
+        raise ValueError(f"unknown impl {impl!r}")
+    if jax.default_backend() != "tpu":
+        return False
+    return f2_padded_elems * max(itemsize, 4) <= _VMEM_BUDGET_BYTES
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX oracle implementations (differentiable; autodiff gives exact VJPs).
+# ---------------------------------------------------------------------------
+
+
+def _correlation2d_pure(f1, f2, max_disp):
+    b, h, w, c = f1.shape
+    d = max_disp
+    f1f = f1.astype(jnp.float32)
+    f2p = jnp.pad(f2.astype(jnp.float32), ((0, 0), (d, d), (d, d), (0, 0)))
+    maps = []
+    for dy in range(2 * d + 1):
+        for dx in range(2 * d + 1):
+            shifted = jax.lax.dynamic_slice(f2p, (0, dy, dx, 0), (b, h, w, c))
+            maps.append(jnp.sum(f1f * shifted, axis=-1))
+    out = jnp.stack(maps, axis=-1) / jnp.float32(c)
+    return out.astype(f1.dtype)
+
+
+def _correlation1d_pure(f1, f2, max_disp):
+    b, h, w, c = f1.shape
+    dmax = max_disp
+    f1f = f1.astype(jnp.float32)
+    # corr(x, k) = f1(x) . f2(x - k): pad f2 on the left by D.
+    f2p = jnp.pad(f2.astype(jnp.float32), ((0, 0), (0, 0), (dmax, 0), (0, 0)))
+    maps = []
+    for k in range(dmax + 1):
+        shifted = jax.lax.dynamic_slice(f2p, (0, 0, dmax - k, 0), (b, h, w, c))
+        maps.append(jnp.sum(f1f * shifted, axis=-1))
+    out = jnp.stack(maps, axis=-1) / jnp.float32(c)
+    return out.astype(f1.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Public dispatching entry points.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("max_disp", "impl"))
+def correlation2d(f1, f2, max_disp: int = 4, impl: str | None = None):
+    """2-D correlation cost volume. (B,H,W,C)x2 -> (B,H,W,(2*max_disp+1)**2).
+
+    See module docstring for exact semantics (SURVEY.md §9.2).
+    """
+    if f1.shape != f2.shape:
+        raise ValueError(f"f1/f2 shape mismatch: {f1.shape} vs {f2.shape}")
+    b, h, w, c = f1.shape
+    d = max_disp
+    if _use_pallas(impl, (h + 2 * d) * (w + 2 * d) * c, f1.dtype.itemsize):
+        from cerberusnet_tpu.ops.pallas.correlation import correlation2d_pallas
+
+        return correlation2d_pallas(f1, f2, max_disp)
+    return _correlation2d_pure(f1, f2, max_disp)
+
+
+@functools.partial(jax.jit, static_argnames=("max_disp", "impl"))
+def correlation1d(f1, f2, max_disp: int = 24, impl: str | None = None):
+    """1-D (epipolar) correlation. (B,H,W,C)x2 -> (B,H,W,max_disp+1).
+
+    ``f1`` is the left-image features, ``f2`` the right-image features;
+    channel k correlates f1(x) with f2(x - k). See SURVEY.md §9.2b.
+    """
+    if f1.shape != f2.shape:
+        raise ValueError(f"f1/f2 shape mismatch: {f1.shape} vs {f2.shape}")
+    b, h, w, c = f1.shape
+    if _use_pallas(impl, h * (w + max_disp) * c, f1.dtype.itemsize):
+        from cerberusnet_tpu.ops.pallas.correlation import correlation1d_pallas
+
+        return correlation1d_pallas(f1, f2, max_disp)
+    return _correlation1d_pure(f1, f2, max_disp)

@@ -1,0 +1,324 @@
+"""Pallas TPU kernels for correlation cost volumes (2-D flow / 1-D stereo).
+
+TPU-native rebuild of the reference's CUDA correlation package (SURVEY.md §3
+C1, §4.5, §9.2): forward plus the two asymmetric backward kernels, wired up
+with ``jax.custom_vjp`` exactly like the reference's autograd.Function wraps
+its CUDA kernels — but compiled into the same XLA program as the surrounding
+convs, so there is no per-pyramid-level launch overhead (SURVEY.md §4.1).
+
+Kernel strategy
+  * Displacements are STATIC (a (2d+1)^2 or D+1 window), so every shifted
+    read is a static slice of a VMEM-resident row tile — no gathers.
+  * Grid is (B, H/TH) row tiles. The 2-D window needs a +-d ROW halo, which
+    uniform BlockSpec tiling cannot express directly; instead the row-padded
+    operand is passed TWICE with index maps (i) and (i+1) and the two tiles
+    are concatenated in-kernel into a (2*TH)-row slab (TH >= 2d), from which
+    every dy-shift is a static slice. XLA dedupes the underlying buffer; the
+    only cost is a bounded (TH+2d)/TH read amplification.
+  * Horizontal shifts are handled by host-side zero padding of the minor-2
+    (W) dim; zero padding doubles as out-of-bounds-contributes-zero
+    semantics (SURVEY.md §9.2). Host rows are likewise padded to TH multiples
+    so kernels are entirely mask-free.
+  * Products accumulate in float32 irrespective of input dtype (bf16-safe:
+    SURVEY.md §7 "accumulate in fp32 inside the kernel").
+
+Gradient math (SURVEY.md §9.2):
+  dL/df1_c(x) = (1/C) sum_o g(x, o)     * f2_c(x + o)
+  dL/df2_c(y) = (1/C) sum_o g(y - o, o) * f1_c(y - o)
+The f2 gradient's transposed-displacement reads are realised by padding g and
+f1 by the window radius and slicing at (2d - dy, 2d - dx) — index arithmetic
+stays non-negative, so no masking is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret_default():
+    return jax.default_backend() != "tpu"
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _pick_tile(h, d, cap):
+    """Row-tile size: <= cap, >= 2d (so tile i,i+1 cover the halo window)."""
+    th = min(cap, _cdiv(h, 8) * 8)
+    return max(th, 2 * d, 8)
+
+
+def _tiled_spec(th, *rest):
+    return pl.BlockSpec((1, th) + tuple(rest), lambda b, i: (b, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _halo_specs(th, *rest):
+    """Two specs over the same row-padded array: tiles i and i+1."""
+    return [
+        pl.BlockSpec((1, th) + tuple(rest), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, th) + tuple(rest), lambda b, i: (b, i + 1, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _pad_haloed(x, d_top, d_side, h, th, nrow_tiles):
+    """Pad rows to (nrow_tiles + 1) * th with d_top zeros on top, and the
+    columns by d_side on each requested side (left, right)."""
+    total_rows = (nrow_tiles + 1) * th
+    bottom = total_rows - d_top - h
+    left, right = d_side
+    return jnp.pad(x, ((0, 0), (d_top, bottom), (left, right), (0, 0)))
+
+
+# ===========================================================================
+# 2-D correlation
+# ===========================================================================
+
+
+def _corr2d_fwd_kernel(f1_ref, f2a_ref, f2b_ref, out_ref, *, w, d, c):
+    f1 = f1_ref[0].astype(jnp.float32)  # (TH, W, C)
+    slab = jnp.concatenate([f2a_ref[0], f2b_ref[0]], axis=0).astype(jnp.float32)
+    th = f1.shape[0]
+    inv_c = jnp.float32(1.0 / c)
+    k = 0
+    for dy in range(2 * d + 1):
+        rows = slab[dy : dy + th]
+        for dx in range(2 * d + 1):
+            sh = rows[:, dx : dx + w, :]
+            out_ref[0, :, :, k] = (jnp.sum(f1 * sh, axis=-1) * inv_c).astype(
+                out_ref.dtype
+            )
+            k += 1
+
+
+def _corr2d_bwd_f1_kernel(g_ref, f2a_ref, f2b_ref, df1_ref, *, w, d, c):
+    g = g_ref[0].astype(jnp.float32)  # (TH, W, K)
+    slab = jnp.concatenate([f2a_ref[0], f2b_ref[0]], axis=0).astype(jnp.float32)
+    th = g.shape[0]
+    acc = jnp.zeros(df1_ref.shape[1:], jnp.float32)  # (TH, W, C)
+    k = 0
+    for dy in range(2 * d + 1):
+        rows = slab[dy : dy + th]
+        for dx in range(2 * d + 1):
+            acc = acc + g[:, :, k : k + 1] * rows[:, dx : dx + w, :]
+            k += 1
+    df1_ref[0] = (acc * jnp.float32(1.0 / c)).astype(df1_ref.dtype)
+
+
+def _corr2d_bwd_f2_kernel(ga_ref, gb_ref, f1a_ref, f1b_ref, df2_ref, *, w, d, c):
+    gslab = jnp.concatenate([ga_ref[0], gb_ref[0]], axis=0).astype(jnp.float32)
+    fslab = jnp.concatenate([f1a_ref[0], f1b_ref[0]], axis=0).astype(jnp.float32)
+    th = df2_ref.shape[1]
+    acc = jnp.zeros(df2_ref.shape[1:], jnp.float32)  # (TH, W, C)
+    k = 0
+    for dy in range(2 * d + 1):
+        g_rows = gslab[2 * d - dy : 2 * d - dy + th]
+        f_rows = fslab[2 * d - dy : 2 * d - dy + th]
+        for dx in range(2 * d + 1):
+            gsl = g_rows[:, 2 * d - dx : 2 * d - dx + w, k]
+            fsl = f_rows[:, 2 * d - dx : 2 * d - dx + w, :]
+            acc = acc + gsl[:, :, None] * fsl
+            k += 1
+    df2_ref[0] = (acc * jnp.float32(1.0 / c)).astype(df2_ref.dtype)
+
+
+def _corr2d_forward(f1, f2, max_disp, interpret):
+    b, h, w, c = f1.shape
+    d = max_disp
+    nk = (2 * d + 1) ** 2
+    th = _pick_tile(h, d, 32)
+    n = _cdiv(h, th)
+    hp = n * th
+    f1p = jnp.pad(f1, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+    f2p = _pad_haloed(f2, d, (d, d), h, th, n)
+    out = pl.pallas_call(
+        functools.partial(_corr2d_fwd_kernel, w=w, d=d, c=c),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, nk), f1.dtype),
+        grid=(b, n),
+        in_specs=[_tiled_spec(th, w, c)] + _halo_specs(th, w + 2 * d, c),
+        out_specs=_tiled_spec(th, w, nk),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * c * nk,
+            bytes_accessed=(2 * b * h * w * c + b * h * w * nk) * f1.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(f1p, f2p, f2p)
+    return out[:, :h]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def correlation2d_pallas(f1, f2, max_disp: int = 4, interpret: bool | None = None):
+    if interpret is None:
+        interpret = _interpret_default()
+    return _corr2d_forward(f1, f2, max_disp, interpret)
+
+
+def _corr2d_vjp_fwd(f1, f2, max_disp, interpret):
+    if interpret is None:
+        interpret = _interpret_default()
+    return _corr2d_forward(f1, f2, max_disp, interpret), (f1, f2)
+
+
+def _corr2d_vjp_bwd(max_disp, interpret, res, g):
+    if interpret is None:
+        interpret = _interpret_default()
+    f1, f2 = res
+    b, h, w, c = f1.shape
+    d = max_disp
+    nk = (2 * d + 1) ** 2
+    th = _pick_tile(h, d, 32)
+    n = _cdiv(h, th)
+    hp = n * th
+
+    gp = jnp.pad(g, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+    f2p = _pad_haloed(f2, d, (d, d), h, th, n)
+    df1 = pl.pallas_call(
+        functools.partial(_corr2d_bwd_f1_kernel, w=w, d=d, c=c),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, c), f1.dtype),
+        grid=(b, n),
+        in_specs=[_tiled_spec(th, w, nk)] + _halo_specs(th, w + 2 * d, c),
+        out_specs=_tiled_spec(th, w, c),
+        interpret=interpret,
+    )(gp, f2p, f2p)[:, :h]
+
+    # Transposed displacements sample g/f1 at (y - o), o in [-d, d]: a d
+    # top/left pad makes every slice offset (2d - dy, 2d - dx) non-negative.
+    # The 81-channel g tiles are big, so use a smaller row tile here.
+    th2 = _pick_tile(h, d, 16)
+    n2 = _cdiv(h, th2)
+    gpp = _pad_haloed(g, d, (d, d), h, th2, n2)
+    f1pp = _pad_haloed(f1, d, (d, d), h, th2, n2)
+    df2 = pl.pallas_call(
+        functools.partial(_corr2d_bwd_f2_kernel, w=w, d=d, c=c),
+        out_shape=jax.ShapeDtypeStruct((b, n2 * th2, w, c), f2.dtype),
+        grid=(b, n2),
+        in_specs=_halo_specs(th2, w + 2 * d, nk) + _halo_specs(th2, w + 2 * d, c),
+        out_specs=_tiled_spec(th2, w, c),
+        interpret=interpret,
+    )(gpp, gpp, f1pp, f1pp)[:, :h]
+    return df1, df2
+
+
+correlation2d_pallas.defvjp(_corr2d_vjp_fwd, _corr2d_vjp_bwd)
+
+
+# ===========================================================================
+# 1-D (epipolar) correlation — no vertical halo, every operand row-tiled.
+# ===========================================================================
+
+
+def _corr1d_fwd_kernel(f1_ref, f2_ref, out_ref, *, w, dmax, c):
+    f1 = f1_ref[0].astype(jnp.float32)  # (TH, W, C)
+    rows = f2_ref[0].astype(jnp.float32)  # (TH, W+D, C), left-padded by D
+    inv_c = jnp.float32(1.0 / c)
+    for k in range(dmax + 1):
+        sh = rows[:, dmax - k : dmax - k + w, :]
+        out_ref[0, :, :, k] = (jnp.sum(f1 * sh, axis=-1) * inv_c).astype(out_ref.dtype)
+
+
+def _corr1d_bwd_f1_kernel(g_ref, f2_ref, df1_ref, *, w, dmax, c):
+    g = g_ref[0].astype(jnp.float32)  # (TH, W, K)
+    rows = f2_ref[0].astype(jnp.float32)  # (TH, W+D, C)
+    acc = jnp.zeros(df1_ref.shape[1:], jnp.float32)
+    for k in range(dmax + 1):
+        acc = acc + g[:, :, k : k + 1] * rows[:, dmax - k : dmax - k + w, :]
+    df1_ref[0] = (acc * jnp.float32(1.0 / c)).astype(df1_ref.dtype)
+
+
+def _corr1d_bwd_f2_kernel(gp_ref, f1p_ref, df2_ref, *, w, dmax, c):
+    # dL/df2(y) = (1/C) sum_k g(x + k, k) * f1(x + k): g/f1 right-padded by D.
+    g = gp_ref[0].astype(jnp.float32)  # (TH, W+D, K)
+    f1 = f1p_ref[0].astype(jnp.float32)  # (TH, W+D, C)
+    acc = jnp.zeros(df2_ref.shape[1:], jnp.float32)
+    for k in range(dmax + 1):
+        acc = acc + g[:, k : k + w, k][:, :, None] * f1[:, k : k + w, :]
+    df2_ref[0] = (acc * jnp.float32(1.0 / c)).astype(df2_ref.dtype)
+
+
+def _pad_rows_cols(x, hp, left, right):
+    return jnp.pad(x, ((0, 0), (0, hp - x.shape[1]), (left, right), (0, 0)))
+
+
+def _corr1d_forward(f1, f2, max_disp, interpret):
+    b, h, w, c = f1.shape
+    dmax = max_disp
+    nk = dmax + 1
+    th = _pick_tile(h, 0, 16)
+    n = _cdiv(h, th)
+    hp = n * th
+    f1p = _pad_rows_cols(f1, hp, 0, 0)
+    f2p = _pad_rows_cols(f2, hp, dmax, 0)
+    out = pl.pallas_call(
+        functools.partial(_corr1d_fwd_kernel, w=w, dmax=dmax, c=c),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, nk), f1.dtype),
+        grid=(b, n),
+        in_specs=[_tiled_spec(th, w, c), _tiled_spec(th, w + dmax, c)],
+        out_specs=_tiled_spec(th, w, nk),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * c * nk,
+            bytes_accessed=(2 * b * h * w * c + b * h * w * nk) * f1.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(f1p, f2p)
+    return out[:, :h]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def correlation1d_pallas(f1, f2, max_disp: int = 24, interpret: bool | None = None):
+    if interpret is None:
+        interpret = _interpret_default()
+    return _corr1d_forward(f1, f2, max_disp, interpret)
+
+
+def _corr1d_vjp_fwd(f1, f2, max_disp, interpret):
+    if interpret is None:
+        interpret = _interpret_default()
+    return _corr1d_forward(f1, f2, max_disp, interpret), (f1, f2)
+
+
+def _corr1d_vjp_bwd(max_disp, interpret, res, g):
+    if interpret is None:
+        interpret = _interpret_default()
+    f1, f2 = res
+    b, h, w, c = f1.shape
+    dmax = max_disp
+    nk = dmax + 1
+    th = _pick_tile(h, 0, 16)
+    n = _cdiv(h, th)
+    hp = n * th
+
+    gp = _pad_rows_cols(g, hp, 0, 0)
+    f2p = _pad_rows_cols(f2, hp, dmax, 0)
+    df1 = pl.pallas_call(
+        functools.partial(_corr1d_bwd_f1_kernel, w=w, dmax=dmax, c=c),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, c), f1.dtype),
+        grid=(b, n),
+        in_specs=[_tiled_spec(th, w, nk), _tiled_spec(th, w + dmax, c)],
+        out_specs=_tiled_spec(th, w, c),
+        interpret=interpret,
+    )(gp, f2p)[:, :h]
+
+    gpr = _pad_rows_cols(g, hp, 0, dmax)
+    f1pr = _pad_rows_cols(f1, hp, 0, dmax)
+    df2 = pl.pallas_call(
+        functools.partial(_corr1d_bwd_f2_kernel, w=w, dmax=dmax, c=c),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, c), f2.dtype),
+        grid=(b, n),
+        in_specs=[_tiled_spec(th, w + dmax, nk), _tiled_spec(th, w + dmax, c)],
+        out_specs=_tiled_spec(th, w, c),
+        interpret=interpret,
+    )(gpr, f1pr)[:, :h]
+    return df1, df2
+
+
+correlation1d_pallas.defvjp(_corr1d_vjp_fwd, _corr1d_vjp_bwd)
