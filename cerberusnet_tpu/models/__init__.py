@@ -1,0 +1,16 @@
+from cerberusnet_tpu.models.encoder import PyramidEncoder
+from cerberusnet_tpu.models.flow import FlowDecoder, FlowNet
+from cerberusnet_tpu.models.disparity import DisparityDecoder, StereoNet
+from cerberusnet_tpu.models.segmentation import SegmentationHead, SegNet
+from cerberusnet_tpu.models.cerberus import CerberusNet
+
+__all__ = [
+    "PyramidEncoder",
+    "FlowDecoder",
+    "FlowNet",
+    "DisparityDecoder",
+    "StereoNet",
+    "SegmentationHead",
+    "SegNet",
+    "CerberusNet",
+]

@@ -1,0 +1,80 @@
+"""CerberusNet: the joint three-headed multi-task model (SURVEY.md §3 C8).
+
+One shared pyramid encoder applied to (left_t, right_t, left_{t-1}), feeding:
+  * disparity head on (left_t, right_t)       — stereo depth
+  * flow head on (left_{t-1}, left_t)         — forward flow anchored at the
+    previous frame (matches KITTI's first->second convention, SURVEY.md §9.5)
+  * segmentation head on left_t's pyramid     — 19-class Cityscapes logits
+
+The whole forward is one jitted XLA program: encoder convs on the MXU, the
+Pallas correlation kernels inlined between them, zero per-op launch overhead
+(SURVEY.md §2 "TPU-native restatement", §4.1).
+
+Inputs are NHWC float images (normalized by the data pipeline); compute
+dtype is configurable (bf16 for the TPU fast path, [BASELINE:L10]).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from cerberusnet_tpu.models.disparity import DisparityDecoder
+from cerberusnet_tpu.models.encoder import PyramidEncoder
+from cerberusnet_tpu.models.flow import FlowDecoder
+from cerberusnet_tpu.models.segmentation import SegmentationHead
+
+
+class CerberusNet(nn.Module):
+    encoder_channels: Sequence[int] = (16, 32, 64, 96, 128, 196)
+    num_classes: int = 19
+    max_disp_full: int = 96
+    flow_max_disp: int = 4
+    est_channels: Sequence[int] = (128, 128, 96, 64, 32)
+    ctx_channels: Sequence[int] = (128, 128, 128, 96, 64, 32)
+    fpn_channels: int = 96
+    corr_impl: str | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, left, right, prev):
+        """left/right/prev: (B, H, W, 3) — left_t, right_t, left_{t-1}.
+
+        Returns a dict:
+          seg_logits:    (B, H, W, num_classes) float32
+          flow:          (B, H, W, 2) full-res forward flow prev -> left
+          disp:          (B, H, W, 1) full-res left-image disparity
+          flow_pyramid:  {level: (B, H/2^l, W/2^l, 2)}
+          disp_pyramid:  {level: (B, H/2^l, W/2^l, 1)}
+        """
+        encoder = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)
+        f_left = encoder(left)
+        f_right = encoder(right)
+        f_prev = encoder(prev)
+
+        disp_out = DisparityDecoder(
+            max_disp_full=self.max_disp_full,
+            est_channels=tuple(self.est_channels),
+            ctx_channels=tuple(self.ctx_channels),
+            corr_impl=self.corr_impl,
+            dtype=self.dtype,
+        )(f_left, f_right)
+        flow_out = FlowDecoder(
+            max_disp=self.flow_max_disp,
+            est_channels=tuple(self.est_channels),
+            ctx_channels=tuple(self.ctx_channels),
+            corr_impl=self.corr_impl,
+            dtype=self.dtype,
+        )(f_prev, f_left)
+        seg_logits = SegmentationHead(
+            self.num_classes, fpn_channels=self.fpn_channels, dtype=self.dtype
+        )(f_left, left.shape[1:3])
+        return {
+            "seg_logits": seg_logits,
+            "flow": flow_out["flow"].astype(jnp.float32),
+            "disp": disp_out["disp"].astype(jnp.float32),
+            "flow_pyramid": flow_out["flow_pyramid"],
+            "disp_pyramid": disp_out["disp_pyramid"],
+        }

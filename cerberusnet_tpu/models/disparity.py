@@ -1,0 +1,111 @@
+"""Stereo-disparity decoder head (SURVEY.md §3 C6, §9.2b, §9.4).
+
+The 1-D epipolar variant of the flow machinery: per pyramid level the right
+features are horizontally warped by the upsampled disparity, correlated with
+the left features over a one-sided displacement window k in 0..D_l with
+D_l = max(max_disp_full / 2^l, 4) (max_disp_full = 96 at full resolution,
+[BASELINE:L8] via SURVEY.md §9.2b), then a DenseNet estimator predicts a
+1-channel disparity residual; the finest level gets a dilated context
+refinement.
+
+Disparity is in pixels at the level's own resolution, non-negative by
+convention (positive = leftward shift into the right image); the full-res
+output is the level-2 map resized x4 with values scaled x4.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from cerberusnet_tpu.models.common import (
+    ContextNetwork,
+    DenseEstimator,
+    leaky,
+    upsample2x,
+)
+from cerberusnet_tpu.models.encoder import PyramidEncoder
+from cerberusnet_tpu.ops.correlation import correlation1d
+from cerberusnet_tpu.ops.warp import warp1d
+
+
+class DisparityDecoder(nn.Module):
+    """Consumes left/right feature pyramids, emits disparity."""
+
+    max_disp_full: int = 96
+    levels: Sequence[int] = (6, 5, 4, 3, 2)
+    est_channels: Sequence[int] = (128, 128, 96, 64, 32)
+    ctx_channels: Sequence[int] = (128, 128, 128, 96, 64, 32)
+    up_feat_channels: int = 2
+    corr_impl: str | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    def level_max_disp(self, level: int) -> int:
+        return max(self.max_disp_full // (2**level), 4)
+
+    @nn.compact
+    def __call__(self, feats_left, feats_right):
+        disp_pyramid = {}
+        disp = None
+        up_feat = None
+        for l in self.levels:
+            f1, f2 = feats_left[l - 1], feats_right[l - 1]
+            if disp is None:
+                up_disp = jnp.zeros(f1.shape[:3] + (1,), f1.dtype)
+                f2w = f2
+                inputs = []
+            else:
+                up_disp = 2.0 * upsample2x(disp)
+                f2w = warp1d(f2, up_disp)
+                inputs = [up_disp, up_feat]
+            cost = leaky(
+                correlation1d(
+                    f1, f2w, max_disp=self.level_max_disp(l), impl=self.corr_impl
+                )
+            )
+            x = jnp.concatenate([cost, f1] + inputs, axis=-1)
+            x = DenseEstimator(tuple(self.est_channels), dtype=self.dtype)(x)
+            disp = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype)(x)
+            if inputs:
+                disp = disp + up_disp
+            if l == self.levels[-1]:
+                disp = disp + ContextNetwork(
+                    1, tuple(self.ctx_channels), dtype=self.dtype
+                )(x)
+            else:
+                up_feat = leaky(
+                    nn.ConvTranspose(
+                        self.up_feat_channels,
+                        (4, 4),
+                        strides=(2, 2),
+                        padding="SAME",
+                        dtype=self.dtype,
+                    )(x)
+                )
+            disp_pyramid[l] = disp
+        full = 4.0 * upsample2x(upsample2x(disp))
+        return {"disp": full, "disp_pyramid": disp_pyramid}
+
+
+class StereoNet(nn.Module):
+    """Single-task stereo-disparity baseline (SURVEY.md §3 C4 row)."""
+
+    encoder_channels: Sequence[int] = (16, 32, 64, 96, 128, 196)
+    max_disp_full: int = 96
+    est_channels: Sequence[int] = (128, 128, 96, 64, 32)
+    ctx_channels: Sequence[int] = (128, 128, 128, 96, 64, 32)
+    corr_impl: str | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, left, right):
+        enc = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)
+        return DisparityDecoder(
+            max_disp_full=self.max_disp_full,
+            est_channels=tuple(self.est_channels),
+            ctx_channels=tuple(self.ctx_channels),
+            corr_impl=self.corr_impl,
+            dtype=self.dtype,
+        )(enc(left), enc(right))

@@ -1,0 +1,114 @@
+"""Optical-flow decoder head (SURVEY.md §3 C5, §9.4; PWC-Net family).
+
+Coarse-to-fine over pyramid levels 6 -> 2. At each level:
+  1. up_flow = 2 * upsample2x(flow_{l+1})           (zero at level 6)
+  2. f2_warped = warp2d(f2_l, up_flow)              (Pallas-free XLA gather)
+  3. cost = LeakyReLU(correlation2d(f1_l, f2_warped, d=4))   (Pallas kernel)
+  4. estimator: concat(cost, f1_l, up_flow, up_feat) -> DenseNet trunk
+     -> conv to 2 channels
+  5. at the finest level only: dilated context network adds a residual.
+
+Flow values are in PIXELS AT THAT LEVEL's resolution (the warp consumes them
+directly); the final full-resolution flow is the level-2 prediction resized
+x4 with values scaled x4. This is the modern convention (PAPERS.md "Models
+Matter, So Does Training") rather than the Caffe-era /20 normalization; the
+loss layer weights levels per SURVEY.md §9.6.
+
+Flow channel order: (u, v) = (x-displacement, y-displacement); flow maps
+frame-1 pixels to frame-2 positions (warp pulls f2 back onto f1's grid).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from cerberusnet_tpu.models.common import (
+    ConvBlock,
+    ContextNetwork,
+    DenseEstimator,
+    leaky,
+    upsample2x,
+)
+from cerberusnet_tpu.models.encoder import PyramidEncoder
+from cerberusnet_tpu.ops.correlation import correlation2d
+from cerberusnet_tpu.ops.warp import warp2d
+
+
+class FlowDecoder(nn.Module):
+    """Consumes two feature pyramids (lists, levels 1..6), emits flow."""
+
+    max_disp: int = 4
+    levels: Sequence[int] = (6, 5, 4, 3, 2)
+    est_channels: Sequence[int] = (128, 128, 96, 64, 32)
+    ctx_channels: Sequence[int] = (128, 128, 128, 96, 64, 32)
+    up_feat_channels: int = 2
+    corr_impl: str | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats1, feats2):
+        flow_pyramid = {}
+        flow = None
+        up_feat = None
+        for l in self.levels:
+            f1, f2 = feats1[l - 1], feats2[l - 1]
+            if flow is None:
+                up_flow = jnp.zeros(f1.shape[:3] + (2,), f1.dtype)
+                f2w = f2
+                inputs = []
+            else:
+                up_flow = 2.0 * upsample2x(flow)
+                f2w = warp2d(f2, up_flow)
+                inputs = [up_flow, up_feat]
+            cost = leaky(
+                correlation2d(f1, f2w, max_disp=self.max_disp, impl=self.corr_impl)
+            )
+            x = jnp.concatenate([cost, f1] + inputs, axis=-1)
+            x = DenseEstimator(tuple(self.est_channels), dtype=self.dtype)(x)
+            flow = nn.Conv(2, (3, 3), padding="SAME", dtype=self.dtype)(x)
+            if inputs:
+                flow = flow + up_flow  # predict residual on top of upsampled flow
+            if l == self.levels[-1]:
+                flow = flow + ContextNetwork(
+                    2, tuple(self.ctx_channels), dtype=self.dtype
+                )(x)
+            else:
+                up_feat = leaky(
+                    nn.ConvTranspose(
+                        self.up_feat_channels,
+                        (4, 4),
+                        strides=(2, 2),
+                        padding="SAME",
+                        dtype=self.dtype,
+                    )(x)
+                )
+            flow_pyramid[l] = flow
+        # Full-resolution flow: level-2 prediction x4 in size and magnitude.
+        full = 4.0 * upsample2x(upsample2x(flow))
+        return {"flow": full, "flow_pyramid": flow_pyramid}
+
+
+class FlowNet(nn.Module):
+    """Single-task optical-flow baseline (SURVEY.md §3 C4 row: 'single-task
+    baselines (PWC-Net flow)'): encoder + flow decoder."""
+
+    encoder_channels: Sequence[int] = (16, 32, 64, 96, 128, 196)
+    max_disp: int = 4
+    est_channels: Sequence[int] = (128, 128, 96, 64, 32)
+    ctx_channels: Sequence[int] = (128, 128, 128, 96, 64, 32)
+    corr_impl: str | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, im1, im2):
+        enc = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)
+        return FlowDecoder(
+            max_disp=self.max_disp,
+            est_channels=tuple(self.est_channels),
+            ctx_channels=tuple(self.ctx_channels),
+            corr_impl=self.corr_impl,
+            dtype=self.dtype,
+        )(enc(im1), enc(im2))

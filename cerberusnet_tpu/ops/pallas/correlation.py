@@ -99,25 +99,30 @@ def _corr2d_fwd_kernel(f1_ref, f2a_ref, f2b_ref, out_ref, *, w, d, c):
             k += 1
 
 
-def _corr2d_bwd_f1_kernel(g_ref, f2a_ref, f2b_ref, df1_ref, *, w, d, c):
+def _corr2d_bwd_f1_kernel(g_ref, f2a_ref, f2b_ref, df1_ref, acc_ref, *, w, d, c):
+    # Accumulate through the fp32 VMEM scratch ref: a pure jnp add-chain of
+    # 81 terms keeps every temporary live on the Mosaic stack (observed 70 MB
+    # scoped-vmem OOM on v5e); storing per term bounds liveness to one term.
     g = g_ref[0].astype(jnp.float32)  # (TH, W, K)
     slab = jnp.concatenate([f2a_ref[0], f2b_ref[0]], axis=0).astype(jnp.float32)
     th = g.shape[0]
-    acc = jnp.zeros(df1_ref.shape[1:], jnp.float32)  # (TH, W, C)
     k = 0
     for dy in range(2 * d + 1):
         rows = slab[dy : dy + th]
         for dx in range(2 * d + 1):
-            acc = acc + g[:, :, k : k + 1] * rows[:, dx : dx + w, :]
+            term = g[:, :, k : k + 1] * rows[:, dx : dx + w, :]
+            if k == 0:
+                acc_ref[:] = term
+            else:
+                acc_ref[:] = acc_ref[:] + term
             k += 1
-    df1_ref[0] = (acc * jnp.float32(1.0 / c)).astype(df1_ref.dtype)
+    df1_ref[0] = (acc_ref[:] * jnp.float32(1.0 / c)).astype(df1_ref.dtype)
 
 
-def _corr2d_bwd_f2_kernel(ga_ref, gb_ref, f1a_ref, f1b_ref, df2_ref, *, w, d, c):
+def _corr2d_bwd_f2_kernel(ga_ref, gb_ref, f1a_ref, f1b_ref, df2_ref, acc_ref, *, w, d, c):
     gslab = jnp.concatenate([ga_ref[0], gb_ref[0]], axis=0).astype(jnp.float32)
     fslab = jnp.concatenate([f1a_ref[0], f1b_ref[0]], axis=0).astype(jnp.float32)
     th = df2_ref.shape[1]
-    acc = jnp.zeros(df2_ref.shape[1:], jnp.float32)  # (TH, W, C)
     k = 0
     for dy in range(2 * d + 1):
         g_rows = gslab[2 * d - dy : 2 * d - dy + th]
@@ -125,16 +130,22 @@ def _corr2d_bwd_f2_kernel(ga_ref, gb_ref, f1a_ref, f1b_ref, df2_ref, *, w, d, c)
         for dx in range(2 * d + 1):
             gsl = g_rows[:, 2 * d - dx : 2 * d - dx + w, k]
             fsl = f_rows[:, 2 * d - dx : 2 * d - dx + w, :]
-            acc = acc + gsl[:, :, None] * fsl
+            term = gsl[:, :, None] * fsl
+            if k == 0:
+                acc_ref[:] = term
+            else:
+                acc_ref[:] = acc_ref[:] + term
             k += 1
-    df2_ref[0] = (acc * jnp.float32(1.0 / c)).astype(df2_ref.dtype)
+    df2_ref[0] = (acc_ref[:] * jnp.float32(1.0 / c)).astype(df2_ref.dtype)
 
 
 def _corr2d_forward(f1, f2, max_disp, interpret):
     b, h, w, c = f1.shape
     d = max_disp
     nk = (2 * d + 1) ** 2
-    th = _pick_tile(h, d, 32)
+    # Tile cap 8: the 81-channel output block + fp32 temporaries at tile 16
+    # exceed v5e's 16 MB VMEM in bf16 (measured 17.1 MB scoped).
+    th = _pick_tile(h, d, 8)
     n = _cdiv(h, th)
     hp = n * th
     f1p = jnp.pad(f1, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
@@ -175,7 +186,9 @@ def _corr2d_vjp_bwd(max_disp, interpret, res, g):
     b, h, w, c = f1.shape
     d = max_disp
     nk = (2 * d + 1) ** 2
-    th = _pick_tile(h, d, 32)
+    # Backward tiles carry (2d+1)^2-channel gradient blocks; keep them small
+    # to fit the ~16 MB physical VMEM (verified against real v5e compiles).
+    th = _pick_tile(h, d, 8)
     n = _cdiv(h, th)
     hp = n * th
 
@@ -187,13 +200,14 @@ def _corr2d_vjp_bwd(max_disp, interpret, res, g):
         grid=(b, n),
         in_specs=[_tiled_spec(th, w, nk)] + _halo_specs(th, w + 2 * d, c),
         out_specs=_tiled_spec(th, w, c),
+        scratch_shapes=[pltpu.VMEM((th, w, c), jnp.float32)],
         interpret=interpret,
     )(gp, f2p, f2p)[:, :h]
 
     # Transposed displacements sample g/f1 at (y - o), o in [-d, d]: a d
     # top/left pad makes every slice offset (2d - dy, 2d - dx) non-negative.
     # The 81-channel g tiles are big, so use a smaller row tile here.
-    th2 = _pick_tile(h, d, 16)
+    th2 = _pick_tile(h, d, 8)
     n2 = _cdiv(h, th2)
     gpp = _pad_haloed(g, d, (d, d), h, th2, n2)
     f1pp = _pad_haloed(f1, d, (d, d), h, th2, n2)
@@ -203,6 +217,7 @@ def _corr2d_vjp_bwd(max_disp, interpret, res, g):
         grid=(b, n2),
         in_specs=_halo_specs(th2, w + 2 * d, nk) + _halo_specs(th2, w + 2 * d, c),
         out_specs=_tiled_spec(th2, w, c),
+        scratch_shapes=[pltpu.VMEM((th2, w, c), jnp.float32)],
         interpret=interpret,
     )(gpp, gpp, f1pp, f1pp)[:, :h]
     return df1, df2
@@ -225,23 +240,29 @@ def _corr1d_fwd_kernel(f1_ref, f2_ref, out_ref, *, w, dmax, c):
         out_ref[0, :, :, k] = (jnp.sum(f1 * sh, axis=-1) * inv_c).astype(out_ref.dtype)
 
 
-def _corr1d_bwd_f1_kernel(g_ref, f2_ref, df1_ref, *, w, dmax, c):
+def _corr1d_bwd_f1_kernel(g_ref, f2_ref, df1_ref, acc_ref, *, w, dmax, c):
     g = g_ref[0].astype(jnp.float32)  # (TH, W, K)
     rows = f2_ref[0].astype(jnp.float32)  # (TH, W+D, C)
-    acc = jnp.zeros(df1_ref.shape[1:], jnp.float32)
     for k in range(dmax + 1):
-        acc = acc + g[:, :, k : k + 1] * rows[:, dmax - k : dmax - k + w, :]
-    df1_ref[0] = (acc * jnp.float32(1.0 / c)).astype(df1_ref.dtype)
+        term = g[:, :, k : k + 1] * rows[:, dmax - k : dmax - k + w, :]
+        if k == 0:
+            acc_ref[:] = term
+        else:
+            acc_ref[:] = acc_ref[:] + term
+    df1_ref[0] = (acc_ref[:] * jnp.float32(1.0 / c)).astype(df1_ref.dtype)
 
 
-def _corr1d_bwd_f2_kernel(gp_ref, f1p_ref, df2_ref, *, w, dmax, c):
+def _corr1d_bwd_f2_kernel(gp_ref, f1p_ref, df2_ref, acc_ref, *, w, dmax, c):
     # dL/df2(y) = (1/C) sum_k g(x + k, k) * f1(x + k): g/f1 right-padded by D.
     g = gp_ref[0].astype(jnp.float32)  # (TH, W+D, K)
     f1 = f1p_ref[0].astype(jnp.float32)  # (TH, W+D, C)
-    acc = jnp.zeros(df2_ref.shape[1:], jnp.float32)
     for k in range(dmax + 1):
-        acc = acc + g[:, k : k + w, k][:, :, None] * f1[:, k : k + w, :]
-    df2_ref[0] = (acc * jnp.float32(1.0 / c)).astype(df2_ref.dtype)
+        term = g[:, k : k + w, k][:, :, None] * f1[:, k : k + w, :]
+        if k == 0:
+            acc_ref[:] = term
+        else:
+            acc_ref[:] = acc_ref[:] + term
+    df2_ref[0] = (acc_ref[:] * jnp.float32(1.0 / c)).astype(df2_ref.dtype)
 
 
 def _pad_rows_cols(x, hp, left, right):
@@ -305,6 +326,7 @@ def _corr1d_vjp_bwd(max_disp, interpret, res, g):
         grid=(b, n),
         in_specs=[_tiled_spec(th, w, nk), _tiled_spec(th, w + dmax, c)],
         out_specs=_tiled_spec(th, w, c),
+        scratch_shapes=[pltpu.VMEM((th, w, c), jnp.float32)],
         interpret=interpret,
     )(gp, f2p)[:, :h]
 
@@ -316,6 +338,7 @@ def _corr1d_vjp_bwd(max_disp, interpret, res, g):
         grid=(b, n),
         in_specs=[_tiled_spec(th, w + dmax, nk), _tiled_spec(th, w + dmax, c)],
         out_specs=_tiled_spec(th, w, c),
+        scratch_shapes=[pltpu.VMEM((th, w, c), jnp.float32)],
         interpret=interpret,
     )(gpr, f1pr)[:, :h]
     return df1, df2
