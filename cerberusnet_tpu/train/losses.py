@@ -1,0 +1,243 @@
+"""Loss functions (SURVEY.md §3 C11, §9.6).
+
+All losses are pure jittable functions over NHWC tensors, masked by validity
+(KITTI ground truth is sparse — losses are masked means over valid pixels,
+SURVEY.md §9.5). Everything reduces in float32.
+
+  * segmentation: cross-entropy with ignore_index (optional focal variant)
+  * flow: multi-scale EPE-style loss over the prediction pyramid with
+    PWC-Net level weights; robust (|.|_1 + eps)^q fine-tune variant;
+    optional unsupervised photometric + edge-aware smoothness terms for
+    sparse-GT training
+  * disparity: berHu (inverse Huber) with adaptive threshold
+  * joint: fixed weighted sum per config ([BASELINE:L11] via SURVEY.md §9.6)
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+
+from cerberusnet_tpu.ops.warp import warp2d
+
+# PWC-Net multi-scale weights, levels 6..2 (SURVEY.md §9.6).
+DEFAULT_LEVEL_WEIGHTS: Mapping[int, float] = {6: 0.32, 5: 0.08, 4: 0.02, 3: 0.01, 2: 0.005}
+
+
+def _masked_mean(x, mask):
+    """Mean of x over mask (float 0/1); 0 if mask is empty."""
+    num = jnp.sum(x * mask)
+    den = jnp.sum(mask)
+    return jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Segmentation
+# ---------------------------------------------------------------------------
+
+
+def segmentation_loss(logits, labels, ignore_index: int = 255, focal_gamma=None):
+    """Cross-entropy over valid pixels.
+
+    logits: (B, H, W, C) float; labels: (B, H, W) int (trainIds, 255=ignore).
+    focal_gamma: if set, focal-loss modulation (1-p)^gamma (SURVEY.md §9.6
+    'CE with ignore_index (optionally focal)').
+    """
+    logits = logits.astype(jnp.float32)
+    num_classes = logits.shape[-1]
+    valid = (labels != ignore_index).astype(jnp.float32)
+    safe_labels = jnp.where(labels == ignore_index, 0, labels)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    ce = -ll
+    if focal_gamma is not None:
+        ce = ce * (1.0 - jnp.exp(ll)) ** focal_gamma
+    return _masked_mean(ce, valid)
+
+
+# ---------------------------------------------------------------------------
+# Flow
+# ---------------------------------------------------------------------------
+
+
+def downsample_gt(gt, valid, level: int, scale_values: bool):
+    """Valid-aware average pooling of dense-or-sparse GT to pyramid level.
+
+    gt: (B, H, W, C); valid: (B, H, W) 0/1. Returns (gt_l, valid_l) where
+    gt_l is the mean over valid source pixels in each 2^level x 2^level cell
+    and valid_l marks cells with any valid source. Flow/disparity values are
+    divided by 2^level when scale_values (SURVEY.md §9.5 resize scaling).
+    """
+    f = 2**level
+    b, h, w, c = gt.shape
+    vm = valid[..., None].astype(jnp.float32)
+    gsum = jax.lax.reduce_window(
+        gt.astype(jnp.float32) * vm,
+        0.0,
+        jax.lax.add,
+        (1, f, f, 1),
+        (1, f, f, 1),
+        "VALID",
+    )
+    vsum = jax.lax.reduce_window(
+        vm, 0.0, jax.lax.add, (1, f, f, 1), (1, f, f, 1), "VALID"
+    )
+    gt_l = jnp.where(vsum > 0, gsum / jnp.maximum(vsum, 1.0), 0.0)
+    if scale_values:
+        gt_l = gt_l / f
+    return gt_l, (vsum[..., 0] > 0).astype(jnp.float32)
+
+
+def multiscale_flow_loss(
+    flow_pyramid: Mapping[int, jax.Array],
+    gt_flow,
+    valid=None,
+    level_weights: Mapping[int, float] = DEFAULT_LEVEL_WEIGHTS,
+    robust_q=None,
+    robust_eps: float = 0.01,
+):
+    """Sum over levels of weighted masked flow error (SURVEY.md §9.6).
+
+    gt_flow: (B, H, W, 2) at FULL resolution in full-res pixels; per level it
+    is valid-aware downsampled and value-scaled by 1/2^l to match the
+    decoder's level-pixel convention. robust_q: if set, the fine-tune variant
+    (|.|_1 + eps)^q instead of the L2 norm.
+    """
+    if valid is None:
+        valid = jnp.ones(gt_flow.shape[:3], jnp.float32)
+    total = 0.0
+    for level, flow_l in flow_pyramid.items():
+        gt_l, valid_l = downsample_gt(gt_flow, valid, level, scale_values=True)
+        diff = flow_l.astype(jnp.float32) - gt_l
+        if robust_q is not None:
+            err = (jnp.sum(jnp.abs(diff), axis=-1) + robust_eps) ** robust_q
+        else:
+            err = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+        total = total + level_weights.get(level, 0.0) * _masked_mean(err, valid_l)
+    return total
+
+
+def photometric_loss(im1, im2, flow, alpha: float = 0.85):
+    """Unsupervised photometric term: warped-image SSIM + L1 mixture
+    (SURVEY.md §3 C11 'unsupervised photometric ... option for sparse
+    KITTI'). flow maps im1 pixels into im2; im2 is pulled back onto im1."""
+    im2w = warp2d(im2, flow).astype(jnp.float32)
+    im1 = im1.astype(jnp.float32)
+    l1 = jnp.mean(jnp.abs(im1 - im2w))
+    ssim_val = _ssim(im1, im2w)
+    return alpha * (1.0 - ssim_val) * 0.5 + (1.0 - alpha) * l1
+
+
+def _ssim(a, b, c1: float = 0.01**2, c2: float = 0.03**2):
+    """Mean SSIM with 3x3 average pooling windows."""
+
+    def pool(x):
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "VALID"
+        ) / 9.0
+
+    mu_a, mu_b = pool(a), pool(b)
+    var_a = pool(a * a) - mu_a**2
+    var_b = pool(b * b) - mu_b**2
+    cov = pool(a * b) - mu_a * mu_b
+    num = (2 * mu_a * mu_b + c1) * (2 * cov + c2)
+    den = (mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)
+    return jnp.mean(num / den)
+
+
+def smoothness_loss(field, image):
+    """First-order edge-aware smoothness: |d field| * exp(-|d image|)."""
+    field = field.astype(jnp.float32)
+    image = image.astype(jnp.float32)
+
+    def grad_x(x):
+        return x[:, :, 1:] - x[:, :, :-1]
+
+    def grad_y(x):
+        return x[:, 1:] - x[:, :-1]
+
+    wx = jnp.exp(-jnp.mean(jnp.abs(grad_x(image)), axis=-1, keepdims=True))
+    wy = jnp.exp(-jnp.mean(jnp.abs(grad_y(image)), axis=-1, keepdims=True))
+    return jnp.mean(jnp.abs(grad_x(field)) * wx) + jnp.mean(
+        jnp.abs(grad_y(field)) * wy
+    )
+
+
+# ---------------------------------------------------------------------------
+# Disparity
+# ---------------------------------------------------------------------------
+
+
+def berhu_loss(pred, gt, valid=None, c_frac: float = 0.2):
+    """berHu / inverse-Huber (SURVEY.md §9.6): L1 below threshold c,
+    (d^2 + c^2) / (2c) above, with c = c_frac * max batch error."""
+    pred = pred.astype(jnp.float32)
+    gt = gt.astype(jnp.float32)
+    if pred.ndim == gt.ndim + 1:
+        pred = pred[..., 0]
+    if valid is None:
+        valid = jnp.ones(gt.shape, jnp.float32)
+    err = jnp.abs(pred - gt) * valid
+    c = jnp.maximum(c_frac * jnp.max(err), 1e-6)
+    loss = jnp.where(err <= c, err, (err * err + c * c) / (2.0 * c))
+    return _masked_mean(loss, valid)
+
+
+def multiscale_disparity_loss(
+    disp_pyramid: Mapping[int, jax.Array],
+    gt_disp,
+    valid=None,
+    level_weights: Mapping[int, float] = DEFAULT_LEVEL_WEIGHTS,
+):
+    """Per-level berHu over the disparity pyramid (same downsampling and
+    value-scaling rules as flow; disparity scales with width)."""
+    if gt_disp.ndim == 3:
+        gt_disp = gt_disp[..., None]
+    if valid is None:
+        valid = jnp.ones(gt_disp.shape[:3], jnp.float32)
+    total = 0.0
+    for level, disp_l in disp_pyramid.items():
+        gt_l, valid_l = downsample_gt(gt_disp, valid, level, scale_values=True)
+        total = total + level_weights.get(level, 0.0) * berhu_loss(
+            disp_l, gt_l[..., 0], valid_l
+        )
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Joint
+# ---------------------------------------------------------------------------
+
+
+def joint_loss(outputs, batch, weights=None, focal_gamma=None, robust_q=None):
+    """Weighted multi-task loss (SURVEY.md §3 C11 'joint weighted sum').
+
+    outputs: CerberusNet forward dict; batch: dict with any of seg_labels
+    (B,H,W int), flow_gt (B,H,W,2) + flow_valid, disp_gt (B,H,W) +
+    disp_valid. Missing tasks contribute zero. Returns (total, components).
+    """
+    weights = weights or {"seg": 1.0, "flow": 1.0, "disp": 1.0}
+    comps = {}
+    total = 0.0
+    if "seg_labels" in batch:
+        comps["seg"] = segmentation_loss(
+            outputs["seg_logits"], batch["seg_labels"], focal_gamma=focal_gamma
+        )
+        total = total + weights.get("seg", 1.0) * comps["seg"]
+    if "flow_gt" in batch:
+        comps["flow"] = multiscale_flow_loss(
+            outputs["flow_pyramid"],
+            batch["flow_gt"],
+            batch.get("flow_valid"),
+            robust_q=robust_q,
+        )
+        total = total + weights.get("flow", 1.0) * comps["flow"]
+    if "disp_gt" in batch:
+        comps["disp"] = multiscale_disparity_loss(
+            outputs["disp_pyramid"], batch["disp_gt"], batch.get("disp_valid")
+        )
+        total = total + weights.get("disp", 1.0) * comps["disp"]
+    comps["total"] = total
+    return total, comps
