@@ -1,0 +1,218 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric ([BASELINE:L10] config 4): full 3-head CerberusNet joint
+inference, bf16, batched 1024x512 stereo pairs, frames/sec/chip.
+vs_baseline = tpu_fps / torch_cpu_fps (the [BASELINE:L5] target is >= 5).
+
+Timing methodology: the remote-TPU dispatch path in this environment has
+~100 ms per-call latency, so naive python-loop timing measures the tunnel,
+not the chip. All measurements run `iters` forwards INSIDE one jitted
+lax.fori_loop (inputs perturbed per iteration so nothing hoists) — a single
+dispatch, on-device iteration.
+
+Usage:
+  python bench.py            # headline metric, one JSON line on stdout
+  python bench.py --all      # additionally writes BENCH_details.json with
+                             # the five [BASELINE:L7-L11] configs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _loop_time(fn, args, iters, reduce_out):
+    """Run fn(*args) iters times inside one jitted fori_loop; return sec/iter."""
+
+    def body(i, acc):
+        eps = (i.astype(jnp.float32) * 1e-9).astype(args[0].dtype)
+        out = fn(args[0] + eps, *args[1:])
+        return acc + reduce_out(out)
+
+    @jax.jit
+    def run():
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    run().block_until_ready()  # compile + warmup
+    t0 = time.time()
+    run().block_until_ready()
+    return (time.time() - t0) / iters
+
+
+def bench_full3head(batch=2, hw=(512, 1024), iters=10, dtype=jnp.bfloat16,
+                    corr_impl=None):
+    from cerberusnet_tpu.models import CerberusNet
+
+    model = CerberusNet(dtype=dtype, corr_impl=corr_impl)
+    h, w = hw
+    imgs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (batch, h, w, 3), dtype)
+        for i in range(3)
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
+
+    def forward(left, right, temporal):
+        out = model.apply(variables, left, right, temporal)
+        return out
+
+    def reduce_out(out):
+        return (
+            out["flow"].mean() + out["disp"].mean() + out["seg_logits"].mean()
+        ).astype(jnp.float32)
+
+    sec = _loop_time(forward, imgs, iters, reduce_out)
+    return batch / sec  # frames (stereo pairs) per second per chip
+
+
+def bench_head(kind, batch=2, hw=(512, 1024), iters=10, dtype=jnp.bfloat16):
+    from cerberusnet_tpu.models import FlowNet, SegNet, StereoNet
+
+    h, w = hw
+    if kind == "seg":
+        model = SegNet(dtype=dtype)
+        n_in = 1
+    elif kind == "stereo":
+        model = StereoNet(dtype=dtype)
+        n_in = 2
+    else:
+        model = FlowNet(dtype=dtype)
+        n_in = 2
+    imgs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (batch, h, w, 3), dtype)
+        for i in range(n_in)
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
+
+    def forward(*xs):
+        return model.apply(variables, *xs)
+
+    def reduce_out(out):
+        if kind == "seg":
+            return out.mean().astype(jnp.float32)
+        key = "flow" if kind == "flow" else "disp"
+        return out[key].mean().astype(jnp.float32)
+
+    sec = _loop_time(forward, imgs, iters, reduce_out)
+    return batch / sec
+
+
+def bench_train_step(batch=2, hw=(512, 1024), iters=5):
+    """[BASELINE:L11] config 5: end-to-end multi-task train step (joint loss,
+    backward through the Pallas VJPs, optimizer update)."""
+    import optax
+
+    from cerberusnet_tpu.models import CerberusNet
+    from cerberusnet_tpu.train import losses
+
+    model = CerberusNet(dtype=jnp.bfloat16)
+    h, w = hw
+    imgs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (batch, h, w, 3), jnp.bfloat16)
+        for i in range(3)
+    )
+    batch_d = {
+        "left": imgs[0],
+        "right": imgs[1],
+        "temporal": imgs[2],
+        "seg_labels": jnp.zeros((batch, h, w), jnp.int32),
+        "flow_gt": jnp.zeros((batch, h, w, 2), jnp.float32),
+        "flow_valid": jnp.ones((batch, h, w), jnp.float32),
+        "disp_gt": jnp.ones((batch, h, w), jnp.float32),
+        "disp_valid": jnp.ones((batch, h, w), jnp.float32),
+    }
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
+    tx = optax.adamw(1e-4)
+    opt_state = jax.jit(tx.init)(variables["params"])
+
+    def loss_fn(params, bd):
+        out = model.apply({"params": params}, bd["left"], bd["right"], bd["temporal"])
+        total, _ = losses.joint_loss(out, bd)
+        return total
+
+    def step(carry, i):
+        params, opt_state = carry
+        bd = dict(batch_d)
+        bd["left"] = bd["left"] + (i.astype(jnp.float32) * 1e-9).astype(bd["left"].dtype)
+        grads = jax.grad(loss_fn)(params, bd)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), jnp.float32(0)
+
+    @jax.jit
+    def run(params, opt_state):
+        (params, opt_state), _ = jax.lax.scan(
+            step, (params, opt_state), jnp.arange(iters)
+        )
+        return params
+
+    out = run(variables["params"], opt_state)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = run(variables["params"], opt_state)
+    jax.block_until_ready(out)
+    sec = (time.time() - t0) / iters
+    return batch / sec  # training frames/sec/chip
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true", help="also write BENCH_details.json")
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--skip-torch", action="store_true")
+    args = ap.parse_args()
+
+    details = {"device": str(jax.devices()[0]), "hw": [512, 1024]}
+
+    fps = bench_full3head(batch=args.batch, iters=args.iters)
+    details["full3head_bf16_fps"] = fps
+
+    torch_fps = None
+    if not args.skip_torch:
+        try:
+            from tools.torch_baseline import measure_cpu_fps
+
+            torch_fps = measure_cpu_fps(
+                cache_path=os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    ".torch_cpu_baseline.json",
+                )
+            )
+        except Exception as e:  # torch baseline is best-effort
+            print(f"[bench] torch baseline failed: {e}", file=sys.stderr)
+    details["torch_cpu_fps"] = torch_fps
+
+    if args.all:
+        details["seg_fp32_fps"] = bench_head(
+            "seg", batch=1, iters=args.iters, dtype=jnp.float32
+        )
+        details["stereo_bf16_fps"] = bench_head("stereo", batch=args.batch,
+                                                iters=args.iters)
+        details["flow_bf16_fps"] = bench_head("flow", batch=args.batch,
+                                              iters=args.iters)
+        details["train_step_bf16_fps"] = bench_train_step(batch=args.batch)
+        with open("BENCH_details.json", "w") as f:
+            json.dump(details, f, indent=2)
+
+    vs = (fps / torch_fps) if torch_fps else None
+    print(
+        json.dumps(
+            {
+                "metric": "full3head_bf16_fps_per_chip_1024x512",
+                "value": round(fps, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""CLI entry point (SURVEY.md §2 L6: 'python <train script> --config <exp.json>').
+
+Usage:
+  cerberus-train --config configs/cerberus_synthetic.json
+  python -m cerberusnet_tpu.cli --config cfg.json --eval-only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="cerberus-train",
+        description="Train/evaluate cerberusnet_tpu models from a JSON config.",
+    )
+    ap.add_argument("--config", required=True, help="path to ExperimentConfig JSON")
+    ap.add_argument("--eval-only", action="store_true", help="run evaluation only")
+    ap.add_argument("--ckpt-dir", default=None, help="override train.ckpt_dir")
+    ap.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture an XProf trace of a few train steps into DIR and exit",
+    )
+    ap.add_argument(
+        "--print-config", action="store_true", help="dump the parsed config and exit"
+    )
+    args = ap.parse_args(argv)
+
+    from cerberusnet_tpu.train.config import ExperimentConfig
+
+    config = ExperimentConfig.from_json(args.config)
+    if args.ckpt_dir is not None:
+        config.train.ckpt_dir = args.ckpt_dir
+    if args.print_config:
+        print(config.to_json())
+        return 0
+
+    from cerberusnet_tpu.train.trainer import Trainer
+
+    trainer = Trainer(config)
+    if args.profile:
+        out = trainer.profile(args.profile)
+        print(f"trace written to {out}")
+        return 0
+    if args.eval_only:
+        print(json.dumps(trainer.evaluate(), indent=2))
+        return 0
+    trainer.fit()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -9,8 +9,9 @@ Directory layout (standard Cityscapes package):
 
 labelIds are mapped to the 19 trainIds with ignore=255; the precomputed
 disparity uses the Cityscapes (val-1)/256 encoding (SURVEY.md §9.5 family).
-When no sequence directory exists the previous frame falls back to the
-current left image (flow GT is absent in Cityscapes anyway).
+The 'temporal' frame (flow target) is the previous sequence frame when the
+sequence package exists, else the current left image (flow GT is absent in
+Cityscapes anyway).
 """
 
 from __future__ import annotations
@@ -60,7 +61,7 @@ class CityscapesDataset:
             city,
             prev_name,
         )
-        sample["prev"] = (
+        sample["temporal"] = (
             data_io.read_image_u8(prev_path)
             if os.path.exists(prev_path)
             else sample["left"]

@@ -6,13 +6,11 @@ Directory layout (KITTI scene-flow training split):
   root/flow_occ/XXXXXX_10.png                 16-bit flow GT (t -> t+1)
   root/disp_occ_0/XXXXXX_10.png               16-bit disparity GT (frame t)
 
-Sample-dict convention mapping (matches the CerberusNet forward contract):
-  prev  = image_2/_10   (the flow/disparity anchor frame is KITTI's _10;
-  left  = image_2/_11    flow maps prev -> left)
-  right = image_3/_10
-Note disparity/seg anchor: KITTI GT anchors at _10, so here 'prev' is the
-GT-anchored frame; the trainer pairs disp GT with the (prev, right) stereo
-pair. For Cityscapes the anchor is the current frame instead.
+Sample-dict convention mapping (matches the CerberusNet forward contract —
+every GT anchors at the 'left' frame):
+  left     = image_2/_10  (KITTI's GT-anchored frame)
+  temporal = image_2/_11  (flow maps left -> temporal)
+  right    = image_3/_10
 
 GT decode per SURVEY.md §9.5; sparse validity masks ride along.
 """
@@ -52,8 +50,8 @@ class Kitti2015Dataset:
             return os.path.join(self.root, sub, f"{sid}_{frame}.png")
 
         sample = {
-            "prev": data_io.read_image_u8(p("image_2", "10")),
-            "left": data_io.read_image_u8(p("image_2", "11")),
+            "left": data_io.read_image_u8(p("image_2", "10")),
+            "temporal": data_io.read_image_u8(p("image_2", "11")),
         }
         right = p("image_3", "10")
         if os.path.exists(right):

@@ -113,7 +113,7 @@ def make_preprocess_fn(out_hw=None, dtype=jnp.float32):
     def preprocess(batch):
         out = {}
         hw = out_hw or batch["left"].shape[1:3]
-        for k in ("left", "right", "prev"):
+        for k in ("left", "right", "temporal"):
             if k in batch:
                 out[k] = encodings.preprocess_image(batch[k], tuple(hw)).astype(dtype)
         if "seg_labels" in batch:

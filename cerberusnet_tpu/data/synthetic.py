@@ -39,7 +39,7 @@ def _smooth_field(rng, h, w, channels, scale, smoothness=8):
 
 class SyntheticPerceptionDataset:
     """In-memory dataset with the same sample dict schema as the real loaders:
-    {left, right, prev (H,W,3 uint8), seg_labels (H,W uint8), flow_gt
+    {left, right, temporal (H,W,3 uint8), seg_labels (H,W uint8), flow_gt
     (H,W,2 f32), flow_valid, disp_gt (H,W f32), disp_valid}."""
 
     def __init__(
@@ -88,9 +88,13 @@ class SyntheticPerceptionDataset:
         # Rectified stereo: a scene point at x_L in the left view sits at
         # x_L - d in the right view, so right(x) == left(x + d).
         right = sample(left, xs + disp, ys).astype(np.uint8)
-        # Forward flow anchored at prev: pixel x of prev moves to x + flow in
-        # the current (left) frame, so prev(x) == left(x + flow).
-        prev = sample(left, xs + flow[..., 0], ys + flow[..., 1]).astype(np.uint8)
+        # Flow anchored at left: left(x) appears at x + flow(x) in the
+        # temporal frame, i.e. temporal(x + flow(x)) == left(x); synthesize by
+        # inverse sampling temporal(y) = left(y - flow(y)) (exact to first
+        # order for smooth fields — fine for overfit/loss tests).
+        temporal = sample(
+            left, xs - flow[..., 0], ys - flow[..., 1]
+        ).astype(np.uint8)
 
         seg = _smooth_field(rng, h, w, 1, 1.0, smoothness=16)[..., 0]
         seg = (
@@ -105,7 +109,7 @@ class SyntheticPerceptionDataset:
         return {
             "left": left,
             "right": right,
-            "prev": prev,
+            "temporal": temporal,
             "seg_labels": seg,
             "flow_gt": flow * mask[..., None],
             "flow_valid": mask,
@@ -118,9 +122,9 @@ class SyntheticPerceptionDataset:
     def write_kitti_fixture(self, root: str, n: int = 2):
         """Write KITTI-2015-layout PNG fixtures (16-bit GT) under root.
 
-        KITTI convention: flow/disparity GT are anchored at frame _10; flow
-        maps _10 -> _11. Our sample dict's 'prev' plays the _10 role and
-        'left' the _11 role (flow is prev -> current, SURVEY.md §9.5)."""
+        KITTI convention: flow/disparity GT anchor at frame _10; flow maps
+        _10 -> _11. Our 'left' plays the _10 role and 'temporal' the _11
+        role (flow is left -> temporal, SURVEY.md §9.5)."""
         from cerberusnet_tpu.data import io as data_io
 
         for sub in ("image_2", "image_3", "flow_occ", "disp_occ_0"):
@@ -129,8 +133,10 @@ class SyntheticPerceptionDataset:
             s = self[i]
             name = f"{i:06d}_10.png"
             name11 = f"{i:06d}_11.png"
-            data_io.write_image_u8(os.path.join(root, "image_2", name), s["prev"])
-            data_io.write_image_u8(os.path.join(root, "image_2", name11), s["left"])
+            data_io.write_image_u8(os.path.join(root, "image_2", name), s["left"])
+            data_io.write_image_u8(
+                os.path.join(root, "image_2", name11), s["temporal"]
+            )
             data_io.write_image_u8(os.path.join(root, "image_3", name), s["right"])
             data_io.write_png16(
                 os.path.join(root, "flow_occ", name),

@@ -1,10 +1,13 @@
 """CerberusNet: the joint three-headed multi-task model (SURVEY.md §3 C8).
 
-One shared pyramid encoder applied to (left_t, right_t, left_{t-1}), feeding:
-  * disparity head on (left_t, right_t)       — stereo depth
-  * flow head on (left_{t-1}, left_t)         — forward flow anchored at the
-    previous frame (matches KITTI's first->second convention, SURVEY.md §9.5)
-  * segmentation head on left_t's pyramid     — 19-class Cityscapes logits
+One shared pyramid encoder applied to (left, right, temporal), feeding:
+  * disparity head on (left, right)     — stereo depth, anchored at left
+  * flow head on (left, temporal)       — flow anchored at LEFT pointing into
+    the second temporal frame. With KITTI pairs, left = frame _10 and
+    temporal = frame _11, so every ground truth (flow _10->_11, disparity
+    @_10, segmentation @ left) anchors at the same frame (SURVEY.md §9.5).
+    For Cityscapes sequences, temporal is the previous frame.
+  * segmentation head on left's pyramid — 19-class Cityscapes logits
 
 The whole forward is one jitted XLA program: encoder convs on the MXU, the
 Pallas correlation kernels inlined between them, zero per-op launch overhead
@@ -39,12 +42,12 @@ class CerberusNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, left, right, prev):
-        """left/right/prev: (B, H, W, 3) — left_t, right_t, left_{t-1}.
+    def __call__(self, left, right, temporal):
+        """left/right/temporal: (B, H, W, 3) NHWC frames (see module doc).
 
         Returns a dict:
           seg_logits:    (B, H, W, num_classes) float32
-          flow:          (B, H, W, 2) full-res forward flow prev -> left
+          flow:          (B, H, W, 2) full-res flow left -> temporal
           disp:          (B, H, W, 1) full-res left-image disparity
           flow_pyramid:  {level: (B, H/2^l, W/2^l, 2)}
           disp_pyramid:  {level: (B, H/2^l, W/2^l, 1)}
@@ -52,7 +55,7 @@ class CerberusNet(nn.Module):
         encoder = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)
         f_left = encoder(left)
         f_right = encoder(right)
-        f_prev = encoder(prev)
+        f_temporal = encoder(temporal)
 
         disp_out = DisparityDecoder(
             max_disp_full=self.max_disp_full,
@@ -67,7 +70,7 @@ class CerberusNet(nn.Module):
             ctx_channels=tuple(self.ctx_channels),
             corr_impl=self.corr_impl,
             dtype=self.dtype,
-        )(f_prev, f_left)
+        )(f_left, f_temporal)
         seg_logits = SegmentationHead(
             self.num_classes, fpn_channels=self.fpn_channels, dtype=self.dtype
         )(f_left, left.shape[1:3])

@@ -273,7 +273,7 @@ def _corr1d_forward(f1, f2, max_disp, interpret):
     b, h, w, c = f1.shape
     dmax = max_disp
     nk = dmax + 1
-    th = _pick_tile(h, 0, 16)
+    th = _pick_tile(h, 0, 8)
     n = _cdiv(h, th)
     hp = n * th
     f1p = _pad_rows_cols(f1, hp, 0, 0)
@@ -314,7 +314,7 @@ def _corr1d_vjp_bwd(max_disp, interpret, res, g):
     b, h, w, c = f1.shape
     dmax = max_disp
     nk = dmax + 1
-    th = _pick_tile(h, 0, 16)
+    th = _pick_tile(h, 0, 8)
     n = _cdiv(h, th)
     hp = n * th
 

@@ -1,0 +1,137 @@
+"""Experiment configuration (SURVEY.md §3 C14, §6.6).
+
+A single dataclass tree serialized to/from JSON; every [BASELINE:L7-L11]
+benchmark row is expressible as one config (see configs/*.json). Mirrors the
+reference's per-experiment JSON config capability with typed fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    variant: str = "cerberus"  # cerberus | flow | stereo | seg
+    encoder_channels: Tuple[int, ...] = (16, 32, 64, 96, 128, 196)
+    num_classes: int = 19
+    max_disp_full: int = 96
+    flow_max_disp: int = 4
+    est_channels: Tuple[int, ...] = (128, 128, 96, 64, 32)
+    ctx_channels: Tuple[int, ...] = (128, 128, 128, 96, 64, 32)
+    fpn_channels: int = 96
+    corr_impl: Optional[str] = None  # None=auto | pure | pallas
+    dtype: str = "float32"  # compute dtype: float32 | bfloat16
+
+    @property
+    def jnp_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset: str = "synthetic"  # synthetic | kitti | cityscapes
+    root: str = ""
+    split: str = "training"
+    hw: Tuple[int, int] = (512, 1024)  # [BASELINE:L2] working resolution
+    batch_size: int = 4
+    num_workers: int = 4
+    shuffle: bool = True
+    synthetic_length: int = 64
+    synthetic_sparse: bool = False
+
+
+@dataclasses.dataclass
+class OptimConfig:
+    optimizer: str = "adamw"  # adamw | adam | sgd
+    lr: float = 1e-4
+    weight_decay: float = 4e-4
+    schedule: str = "cosine"  # cosine | poly | constant
+    warmup_steps: int = 100
+    total_steps: int = 10000
+    grad_clip: float = 1.0
+    poly_power: float = 0.9
+
+
+@dataclasses.dataclass
+class LossConfig:
+    seg_weight: float = 1.0
+    flow_weight: float = 1.0
+    disp_weight: float = 1.0
+    focal_gamma: Optional[float] = None
+    robust_q: Optional[float] = None
+
+    @property
+    def weights(self):
+        return {
+            "seg": self.seg_weight,
+            "flow": self.flow_weight,
+            "disp": self.disp_weight,
+        }
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 10
+    seed: int = 0
+    log_every: int = 50
+    eval_every_epochs: int = 1
+    ckpt_dir: str = ""
+    resume: bool = True
+    keep_checkpoints: int = 3
+    num_data_devices: int = 0  # 0 = all visible devices
+    num_spatial_devices: int = 1
+    remat: bool = False  # jax.checkpoint the forward (HBM <-> FLOPs trade)
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    name: str = "experiment"
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    def to_json(self, path: Optional[str] = None) -> str:
+        s = json.dumps(dataclasses.asdict(self), indent=2)
+        if path:
+            with open(path, "w") as f:
+                f.write(s)
+        return s
+
+    @classmethod
+    def from_json(cls, path_or_str: str) -> "ExperimentConfig":
+        if path_or_str.lstrip().startswith("{"):
+            raw = json.loads(path_or_str)
+        else:
+            with open(path_or_str) as f:
+                raw = json.load(f)
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: dict) -> "ExperimentConfig":
+        def build(dc, d):
+            fields = {f.name: f for f in dataclasses.fields(dc)}
+            kwargs = {}
+            for k, v in d.items():
+                if k not in fields:
+                    raise ValueError(f"unknown config key {k!r} for {dc.__name__}")
+                ft = fields[k].type
+                if isinstance(v, list):
+                    v = tuple(v)
+                kwargs[k] = v
+            return dc(**kwargs)
+
+        return cls(
+            name=raw.get("name", "experiment"),
+            model=build(ModelConfig, raw.get("model", {})),
+            data=build(DataConfig, raw.get("data", {})),
+            optim=build(OptimConfig, raw.get("optim", {})),
+            loss=build(LossConfig, raw.get("loss", {})),
+            train=build(TrainConfig, raw.get("train", {})),
+        )

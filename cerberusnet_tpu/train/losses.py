@@ -214,19 +214,20 @@ def multiscale_disparity_loss(
 def joint_loss(outputs, batch, weights=None, focal_gamma=None, robust_q=None):
     """Weighted multi-task loss (SURVEY.md §3 C11 'joint weighted sum').
 
-    outputs: CerberusNet forward dict; batch: dict with any of seg_labels
+    Tasks contribute only when both the model output and the GT are
+    present. outputs: forward dict; batch: dict with any of seg_labels
     (B,H,W int), flow_gt (B,H,W,2) + flow_valid, disp_gt (B,H,W) +
     disp_valid. Missing tasks contribute zero. Returns (total, components).
     """
     weights = weights or {"seg": 1.0, "flow": 1.0, "disp": 1.0}
     comps = {}
     total = 0.0
-    if "seg_labels" in batch:
+    if "seg_labels" in batch and "seg_logits" in outputs:
         comps["seg"] = segmentation_loss(
             outputs["seg_logits"], batch["seg_labels"], focal_gamma=focal_gamma
         )
         total = total + weights.get("seg", 1.0) * comps["seg"]
-    if "flow_gt" in batch:
+    if "flow_gt" in batch and "flow_pyramid" in outputs:
         comps["flow"] = multiscale_flow_loss(
             outputs["flow_pyramid"],
             batch["flow_gt"],
@@ -234,7 +235,7 @@ def joint_loss(outputs, batch, weights=None, focal_gamma=None, robust_q=None):
             robust_q=robust_q,
         )
         total = total + weights.get("flow", 1.0) * comps["flow"]
-    if "disp_gt" in batch:
+    if "disp_gt" in batch and "disp_pyramid" in outputs:
         comps["disp"] = multiscale_disparity_loss(
             outputs["disp_pyramid"], batch["disp_gt"], batch.get("disp_valid")
         )

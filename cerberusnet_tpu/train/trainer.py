@@ -1,0 +1,349 @@
+"""Trainer framework (SURVEY.md §3 C13, §4.1/§4.2).
+
+One donated, jitted train step = forward (3 heads) + joint loss + backward
+(re-enters the Pallas correlation VJPs) + optimizer update, all in a single
+XLA program. Data parallelism comes from sharding annotations over a
+('data', 'spatial') mesh — XLA SPMD inserts the gradient psum over ICI
+(SURVEY.md §6.8); there is no DDP-style wrapper object.
+
+Aux subsystems (SURVEY.md §6):
+  * checkpoint/resume: Orbax — full train state (params, opt state, step),
+    retained per-epoch, restored on construction when present (§6.4)
+  * metrics/logging: on-device MetricState accumulators; scalars to CSV +
+    stdout (§6.5)
+  * tracing: `Trainer.profile(path)` wraps steps in jax.profiler.trace (§6.1)
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from cerberusnet_tpu.data.loader import DataLoader, make_preprocess_fn
+from cerberusnet_tpu.models import CerberusNet, FlowNet, SegNet, StereoNet
+from cerberusnet_tpu.parallel import make_mesh, replicated_sharding, shard_batch
+from cerberusnet_tpu.train import losses as losses_lib
+from cerberusnet_tpu.train.config import ExperimentConfig, ModelConfig
+from cerberusnet_tpu.train.metrics import MetricState
+
+
+def build_model(cfg: ModelConfig):
+    """ModelConfig -> (flax module, forward(variables, batch) -> output dict).
+
+    The forward adapter normalizes every variant to the CerberusNet output
+    dict so losses/metrics are variant-agnostic."""
+    common = dict(
+        encoder_channels=tuple(cfg.encoder_channels),
+        corr_impl=cfg.corr_impl,
+        dtype=cfg.jnp_dtype,
+    )
+    if cfg.variant == "cerberus":
+        model = CerberusNet(
+            num_classes=cfg.num_classes,
+            max_disp_full=cfg.max_disp_full,
+            flow_max_disp=cfg.flow_max_disp,
+            est_channels=tuple(cfg.est_channels),
+            ctx_channels=tuple(cfg.ctx_channels),
+            fpn_channels=cfg.fpn_channels,
+            **common,
+        )
+
+        def forward(variables, batch):
+            return model.apply(
+                variables, batch["left"], batch["right"], batch["temporal"]
+            )
+
+        example_keys = ("left", "right", "temporal")
+    elif cfg.variant == "flow":
+        model = FlowNet(
+            max_disp=cfg.flow_max_disp,
+            est_channels=tuple(cfg.est_channels),
+            ctx_channels=tuple(cfg.ctx_channels),
+            **common,
+        )
+
+        def forward(variables, batch):
+            return model.apply(variables, batch["left"], batch["temporal"])
+
+        example_keys = ("left", "temporal")
+    elif cfg.variant == "stereo":
+        model = StereoNet(
+            max_disp_full=cfg.max_disp_full,
+            est_channels=tuple(cfg.est_channels),
+            ctx_channels=tuple(cfg.ctx_channels),
+            **common,
+        )
+
+        def forward(variables, batch):
+            return model.apply(variables, batch["left"], batch["right"])
+
+        example_keys = ("left", "right")
+    elif cfg.variant == "seg":
+        model = SegNet(
+            encoder_channels=tuple(cfg.encoder_channels),
+            num_classes=cfg.num_classes,
+            fpn_channels=cfg.fpn_channels,
+            dtype=cfg.jnp_dtype,
+        )
+
+        def forward(variables, batch):
+            return {"seg_logits": model.apply(variables, batch["left"])}
+
+        example_keys = ("left",)
+    else:
+        raise ValueError(f"unknown model variant {cfg.variant!r}")
+    return model, forward, example_keys
+
+
+def build_optimizer(cfg):
+    if cfg.schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.lr, cfg.warmup_steps, cfg.total_steps
+        )
+    elif cfg.schedule == "poly":
+        sched = optax.polynomial_schedule(
+            cfg.lr, cfg.lr * 1e-3, cfg.poly_power, cfg.total_steps - cfg.warmup_steps,
+            transition_begin=cfg.warmup_steps,
+        )
+    else:
+        sched = cfg.lr
+    if cfg.optimizer == "adamw":
+        tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "adam":
+        tx = optax.adam(sched)
+    elif cfg.optimizer == "sgd":
+        tx = optax.sgd(sched, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if cfg.grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+class Trainer:
+    def __init__(self, config: ExperimentConfig, dataset=None, eval_dataset=None):
+        self.config = config
+        self.model, self.forward, self.example_keys = build_model(config.model)
+        self.tx = build_optimizer(config.optim)
+        self.mesh = make_mesh(
+            config.train.num_data_devices, config.train.num_spatial_devices
+        )
+        self.preprocess = make_preprocess_fn(
+            out_hw=tuple(config.data.hw), dtype=config.model.jnp_dtype
+        )
+        self.dataset = dataset if dataset is not None else self._build_dataset()
+        self.eval_dataset = eval_dataset
+        self.state = self._create_state()
+        self._ckpt_mgr = self._make_ckpt_mgr()
+        if self._ckpt_mgr and config.train.resume:
+            self._maybe_restore()
+        self._train_step = self._make_train_step()
+        self._eval_step = self._make_eval_step()
+        self.history: list = []
+
+    # -- construction -------------------------------------------------------
+
+    def _build_dataset(self):
+        d = self.config.data
+        if d.dataset == "synthetic":
+            from cerberusnet_tpu.data.synthetic import SyntheticPerceptionDataset
+
+            return SyntheticPerceptionDataset(
+                length=d.synthetic_length, hw=tuple(d.hw), sparse=d.synthetic_sparse
+            )
+        if d.dataset == "kitti":
+            from cerberusnet_tpu.data.kitti import Kitti2015Dataset
+
+            return Kitti2015Dataset(d.root, d.split)
+        if d.dataset == "cityscapes":
+            from cerberusnet_tpu.data.cityscapes import CityscapesDataset
+
+            return CityscapesDataset(d.root, d.split)
+        raise ValueError(f"unknown dataset {d.dataset!r}")
+
+    def _example_batch(self):
+        h, w = self.config.data.hw
+        b = max(self.config.data.batch_size // self.mesh.shape["data"], 1)
+        b = b * self.mesh.shape["data"]
+        batch = {
+            k: jnp.zeros((b, h, w, 3), self.config.model.jnp_dtype)
+            for k in self.example_keys
+        }
+        return batch
+
+    def _create_state(self):
+        rng = jax.random.PRNGKey(self.config.train.seed)
+        batch = self._example_batch()
+        init = jax.jit(
+            lambda r, bt: self.model.init(
+                r, *[bt[k] for k in self.example_keys]
+            )
+        )
+        variables = init(rng, batch)
+        state = TrainState.create(
+            apply_fn=self.model.apply, params=variables["params"], tx=self.tx
+        )
+        # replicate over the mesh
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def _make_ckpt_mgr(self):
+        ckpt_dir = self.config.train.ckpt_dir
+        if not ckpt_dir:
+            return None
+        import orbax.checkpoint as ocp
+
+        return ocp.CheckpointManager(
+            os.path.abspath(ckpt_dir),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=self.config.train.keep_checkpoints, create=True
+            ),
+        )
+
+    def _maybe_restore(self):
+        step = self._ckpt_mgr.latest_step()
+        if step is None:
+            return
+        import orbax.checkpoint as ocp
+
+        restored = self._ckpt_mgr.restore(
+            step, args=ocp.args.StandardRestore(jax.tree.map(np.asarray, self.state))
+        )
+        self.state = jax.device_put(restored, replicated_sharding(self.mesh))
+        print(f"[trainer] restored checkpoint at step {int(self.state.step)}")
+
+    # -- steps --------------------------------------------------------------
+
+    def _loss_fn(self, params, batch):
+        outputs = self.forward({"params": params}, batch)
+        cfg = self.config.loss
+        total, comps = losses_lib.joint_loss(
+            outputs,
+            batch,
+            weights=cfg.weights,
+            focal_gamma=cfg.focal_gamma,
+            robust_q=cfg.robust_q,
+        )
+        return total, comps
+
+    def _make_train_step(self):
+        remat = self.config.train.remat
+
+        def step(state, batch):
+            loss_fn = self._loss_fn
+            if remat:
+                loss_fn = jax.checkpoint(loss_fn)
+            (_, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch
+            )
+            new_state = state.apply_gradients(grads=grads)
+            return new_state, comps
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _make_eval_step(self):
+        def step(state, metrics, batch):
+            outputs = self.forward({"params": state.params}, batch)
+            return metrics.update(outputs, batch)
+
+        return jax.jit(step, donate_argnums=(1,))
+
+    # -- public API ---------------------------------------------------------
+
+    def train_step(self, batch):
+        batch = self.preprocess(shard_batch(batch, self.mesh))
+        self.state, comps = self._train_step(self.state, batch)
+        return comps
+
+    def evaluate(self, loader: Optional[DataLoader] = None):
+        ds = self.eval_dataset or self.dataset
+        loader = loader or DataLoader(
+            ds,
+            batch_size=self.config.data.batch_size,
+            num_workers=self.config.data.num_workers,
+        )
+        metrics = MetricState.zeros(self.config.model.num_classes)
+        for batch in loader:
+            batch = self.preprocess(shard_batch(batch, self.mesh))
+            metrics = self._eval_step(self.state, metrics, batch)
+        return metrics.compute()
+
+    def fit(self):
+        cfg = self.config
+        loader = DataLoader(
+            self.dataset,
+            batch_size=cfg.data.batch_size,
+            shuffle=cfg.data.shuffle,
+            num_workers=cfg.data.num_workers,
+            seed=cfg.train.seed,
+        )
+        log_path = None
+        if cfg.train.ckpt_dir:
+            os.makedirs(cfg.train.ckpt_dir, exist_ok=True)
+            log_path = os.path.join(cfg.train.ckpt_dir, "train_log.csv")
+        for epoch in range(cfg.train.epochs):
+            t_epoch = time.time()
+            comps = {}
+            for i, batch in enumerate(loader):
+                comps = self.train_step(batch)
+                if (i + 1) % cfg.train.log_every == 0:
+                    vals = {k: float(v) for k, v in comps.items()}
+                    print(f"[epoch {epoch} step {i + 1}] {vals}")
+            row = {
+                "epoch": epoch,
+                "step": int(self.state.step),
+                "epoch_seconds": round(time.time() - t_epoch, 2),
+                **{f"loss_{k}": float(v) for k, v in comps.items()},
+            }
+            if (
+                self.eval_dataset is not None
+                and (epoch + 1) % cfg.train.eval_every_epochs == 0
+            ):
+                row.update(self.evaluate())
+            self.history.append(row)
+            print(f"[epoch {epoch}] {row}")
+            if log_path:
+                write_header = not os.path.exists(log_path)
+                with open(log_path, "a", newline="") as f:
+                    writer = csv.DictWriter(f, fieldnames=sorted(row))
+                    if write_header:
+                        writer.writeheader()
+                    writer.writerow(row)
+            self.save_checkpoint()
+        return self.history
+
+    def save_checkpoint(self):
+        if not self._ckpt_mgr:
+            return
+        import orbax.checkpoint as ocp
+
+        self._ckpt_mgr.save(
+            int(self.state.step),
+            args=ocp.args.StandardSave(jax.tree.map(np.asarray, self.state)),
+        )
+        self._ckpt_mgr.wait_until_finished()
+
+    def profile(self, log_dir: str, steps: int = 5):
+        """Capture an XProf/Perfetto trace of a few train steps (§6.1)."""
+        loader = DataLoader(
+            self.dataset, batch_size=self.config.data.batch_size, num_workers=2
+        )
+        it = iter(loader)
+        batch = next(it)
+        self.train_step(batch)  # compile outside the trace
+        with jax.profiler.trace(log_dir):
+            for _ in range(steps):
+                comps = self.train_step(batch)
+            jax.block_until_ready(comps)
+        return log_dir

@@ -84,7 +84,7 @@ class TestKittiLoader:
         assert len(kitti) == 2
         s = kitti[0]
         ref = ds[0]
-        np.testing.assert_array_equal(s["prev"], ref["prev"])
+        np.testing.assert_array_equal(s["left"], ref["left"])
         np.testing.assert_array_equal(s["right"], ref["right"])
         np.testing.assert_array_equal(s["flow_valid"], ref["flow_valid"])
         m = s["flow_valid"] > 0
