@@ -1,0 +1,352 @@
+// pjrt_runner — native C++ inference runtime for exported CerberusNet
+// programs (SURVEY.md §3 C16, §4.3, §7 step 8).
+//
+// TPU-native analogue of the reference's C++ TensorRT engine builder/runner:
+// where the reference parses ONNX, patches in custom-op plugins (C17), and
+// builds a serialized fp16 engine for Xavier, this loads the StableHLO
+// artifact written by cerberusnet_tpu.export (weights baked in, Pallas
+// correlation kernels embedded as tpu custom calls — no plugin registry
+// needed), compiles it through ANY PJRT C-API plugin (libtpu.so on a TPU
+// host; any conforming plugin elsewhere), executes it, and reports timing.
+//
+// Usage:
+//   pjrt_runner --plugin /path/libtpu.so --model <export_dir> \
+//               [--iters 10] [--opt key=value ...]
+//
+// --opt values: integers are passed as PJRT int64 named values, everything
+// else as strings (matches how jax passes plugin options).
+//
+// Build: see Makefile (headers vendored from the XLA pjrt_c_api.h contract).
+
+#include <dlfcn.h>
+
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <sstream>
+#include <string>
+#include <vector>
+
+#include "xla/pjrt/c/pjrt_c_api.h"
+
+namespace {
+
+struct Shape {
+  std::vector<int64_t> dims;
+  std::string dtype;
+};
+
+[[noreturn]] void Die(const std::string& msg) {
+  std::fprintf(stderr, "pjrt_runner: %s\n", msg.c_str());
+  std::exit(1);
+}
+
+std::string ReadFile(const std::string& path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) Die("cannot read " + path);
+  std::ostringstream ss;
+  ss << f.rdbuf();
+  return ss.str();
+}
+
+// Minimal JSON scanning for the manifest this repo writes (known schema —
+// not a general parser). Extracts the "inputs" array of {shape, dtype}.
+std::vector<Shape> ParseManifestInputs(const std::string& json) {
+  std::vector<Shape> shapes;
+  size_t inputs_pos = json.find("\"inputs\"");
+  if (inputs_pos == std::string::npos) Die("manifest missing \"inputs\"");
+  size_t end = json.find("\"outputs\"", inputs_pos);
+  size_t pos = inputs_pos;
+  while (true) {
+    size_t sh = json.find("\"shape\"", pos);
+    if (sh == std::string::npos || sh > end) break;
+    size_t lb = json.find('[', sh);
+    size_t rb = json.find(']', lb);
+    Shape s;
+    std::stringstream nums(json.substr(lb + 1, rb - lb - 1));
+    std::string tok;
+    while (std::getline(nums, tok, ',')) {
+      if (!tok.empty()) s.dims.push_back(std::stoll(tok));
+    }
+    size_t dt = json.find("\"dtype\"", rb);
+    size_t q1 = json.find(':', dt);
+    size_t q2 = json.find('"', q1);
+    size_t q3 = json.find('"', q2 + 1);
+    s.dtype = json.substr(q2 + 1, q3 - q2 - 1);
+    shapes.push_back(std::move(s));
+    pos = q3;
+  }
+  if (shapes.empty()) Die("no input shapes found in manifest");
+  return shapes;
+}
+
+PJRT_Buffer_Type DtypeToPjrt(const std::string& dtype, size_t* itemsize) {
+  if (dtype == "float32") { *itemsize = 4; return PJRT_Buffer_Type_F32; }
+  if (dtype == "bfloat16") { *itemsize = 2; return PJRT_Buffer_Type_BF16; }
+  if (dtype == "float16") { *itemsize = 2; return PJRT_Buffer_Type_F16; }
+  if (dtype == "int32") { *itemsize = 4; return PJRT_Buffer_Type_S32; }
+  if (dtype == "uint8") { *itemsize = 1; return PJRT_Buffer_Type_U8; }
+  Die("unsupported dtype " + dtype);
+}
+
+const PJRT_Api* g_api = nullptr;
+
+void Check(PJRT_Error* err, const char* what) {
+  if (err == nullptr) return;
+  PJRT_Error_Message_Args margs;
+  margs.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
+  margs.extension_start = nullptr;
+  margs.error = err;
+  g_api->PJRT_Error_Message(&margs);
+  std::string msg(margs.message, margs.message_size);
+  PJRT_Error_Destroy_Args dargs;
+  dargs.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+  dargs.extension_start = nullptr;
+  dargs.error = err;
+  g_api->PJRT_Error_Destroy(&dargs);
+  Die(std::string(what) + ": " + msg);
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  std::string plugin_path, model_path;
+  int iters = 10;
+  std::vector<std::pair<std::string, std::string>> opts;
+  for (int i = 1; i < argc; ++i) {
+    std::string a = argv[i];
+    auto next = [&]() -> std::string {
+      if (i + 1 >= argc) Die("missing value after " + a);
+      return argv[++i];
+    };
+    if (a == "--plugin") plugin_path = next();
+    else if (a == "--model") model_path = next();
+    else if (a == "--iters") iters = std::stoi(next());
+    else if (a == "--opt") {
+      std::string kv = next();
+      size_t eq = kv.find('=');
+      if (eq == std::string::npos) Die("--opt expects key=value");
+      opts.emplace_back(kv.substr(0, eq), kv.substr(eq + 1));
+    } else Die("unknown flag " + a);
+  }
+  if (plugin_path.empty() || model_path.empty())
+    Die("usage: pjrt_runner --plugin <pjrt_plugin.so> --model <export_dir> "
+        "[--iters N] [--opt k=v ...]");
+
+  // ---- load plugin ----
+  void* handle = dlopen(plugin_path.c_str(), RTLD_LAZY | RTLD_LOCAL);
+  if (!handle) Die(std::string("dlopen failed: ") + dlerror());
+  using GetPjrtApiFn = const PJRT_Api* (*)();
+  auto get_api = reinterpret_cast<GetPjrtApiFn>(dlsym(handle, "GetPjrtApi"));
+  if (!get_api) Die("plugin has no GetPjrtApi symbol");
+  g_api = get_api();
+  if (!g_api) Die("GetPjrtApi returned null");
+  std::fprintf(stderr, "[pjrt_runner] plugin api version %d.%d\n",
+               g_api->pjrt_api_version.major_version,
+               g_api->pjrt_api_version.minor_version);
+
+  {
+    PJRT_Plugin_Initialize_Args args;
+    args.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
+    args.extension_start = nullptr;
+    Check(g_api->PJRT_Plugin_Initialize(&args), "PJRT_Plugin_Initialize");
+  }
+
+  // ---- named options ----
+  std::vector<PJRT_NamedValue> named;
+  std::vector<int64_t> int_storage(opts.size());
+  for (size_t i = 0; i < opts.size(); ++i) {
+    PJRT_NamedValue v;
+    v.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    v.extension_start = nullptr;
+    v.name = opts[i].first.c_str();
+    v.name_size = opts[i].first.size();
+    char* endp = nullptr;
+    long long as_int = strtoll(opts[i].second.c_str(), &endp, 10);
+    if (endp && *endp == '\0' && !opts[i].second.empty()) {
+      int_storage[i] = as_int;
+      v.type = PJRT_NamedValue_kInt64;
+      v.int64_value = int_storage[i];
+      v.value_size = 1;
+    } else {
+      v.type = PJRT_NamedValue_kString;
+      v.string_value = opts[i].second.c_str();
+      v.value_size = opts[i].second.size();
+    }
+    named.push_back(v);
+  }
+
+  // ---- client ----
+  PJRT_Client* client = nullptr;
+  {
+    PJRT_Client_Create_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+    args.create_options = named.empty() ? nullptr : named.data();
+    args.num_options = named.size();
+    Check(g_api->PJRT_Client_Create(&args), "PJRT_Client_Create");
+    client = args.client;
+  }
+
+  // ---- devices ----
+  PJRT_Client_AddressableDevices_Args dev_args;
+  std::memset(&dev_args, 0, sizeof(dev_args));
+  dev_args.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
+  dev_args.client = client;
+  Check(g_api->PJRT_Client_AddressableDevices(&dev_args),
+        "PJRT_Client_AddressableDevices");
+  if (dev_args.num_addressable_devices == 0) Die("no addressable devices");
+  PJRT_Device* device = dev_args.addressable_devices[0];
+  std::fprintf(stderr, "[pjrt_runner] %zu addressable device(s)\n",
+               dev_args.num_addressable_devices);
+
+  // ---- compile ----
+  std::string mlir = ReadFile(model_path + "/model.mlir");
+  std::string manifest = ReadFile(model_path + "/manifest.json");
+  std::vector<Shape> in_shapes = ParseManifestInputs(manifest);
+
+  PJRT_LoadedExecutable* exec = nullptr;
+  auto t_compile0 = std::chrono::steady_clock::now();
+  {
+    PJRT_Program program;
+    std::memset(&program, 0, sizeof(program));
+    program.struct_size = PJRT_Program_STRUCT_SIZE;
+    program.code = const_cast<char*>(mlir.data());
+    program.code_size = mlir.size();
+    static const char kFormat[] = "mlir";
+    program.format = kFormat;
+    program.format_size = sizeof(kFormat) - 1;
+
+    // Empty CompileOptionsProto: PJRT plugins accept an empty serialized
+    // proto as "defaults" (single device, no sharding).
+    PJRT_Client_Compile_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+    args.client = client;
+    args.program = &program;
+    args.compile_options = nullptr;
+    args.compile_options_size = 0;
+    Check(g_api->PJRT_Client_Compile(&args), "PJRT_Client_Compile");
+    exec = args.executable;
+  }
+  double compile_ms =
+      std::chrono::duration<double, std::milli>(
+          std::chrono::steady_clock::now() - t_compile0)
+          .count();
+
+  // ---- input buffers (zero-filled) ----
+  std::vector<PJRT_Buffer*> inputs;
+  std::vector<std::vector<char>> host_data;
+  for (const Shape& s : in_shapes) {
+    size_t itemsize;
+    PJRT_Buffer_Type type = DtypeToPjrt(s.dtype, &itemsize);
+    size_t n = itemsize;
+    for (int64_t d : s.dims) n *= static_cast<size_t>(d);
+    host_data.emplace_back(n, 0);
+    PJRT_Client_BufferFromHostBuffer_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+    args.client = client;
+    args.data = host_data.back().data();
+    args.type = type;
+    args.dims = s.dims.data();
+    args.num_dims = s.dims.size();
+    args.host_buffer_semantics =
+        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+    args.device = device;
+    Check(g_api->PJRT_Client_BufferFromHostBuffer(&args),
+          "PJRT_Client_BufferFromHostBuffer");
+    if (args.done_with_host_buffer) {
+      PJRT_Event_Await_Args eargs;
+      std::memset(&eargs, 0, sizeof(eargs));
+      eargs.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+      eargs.event = args.done_with_host_buffer;
+      Check(g_api->PJRT_Event_Await(&eargs), "await h2d");
+      PJRT_Event_Destroy_Args d;
+      std::memset(&d, 0, sizeof(d));
+      d.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+      d.event = args.done_with_host_buffer;
+      g_api->PJRT_Event_Destroy(&d);
+    }
+    inputs.push_back(args.buffer);
+  }
+
+  // ---- execute ----
+  PJRT_ExecuteOptions exec_opts;
+  std::memset(&exec_opts, 0, sizeof(exec_opts));
+  exec_opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+
+  PJRT_Executable* plain_exec = nullptr;
+  {
+    PJRT_LoadedExecutable_GetExecutable_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+    args.loaded_executable = exec;
+    Check(g_api->PJRT_LoadedExecutable_GetExecutable(&args), "GetExecutable");
+    plain_exec = args.executable;
+  }
+  size_t num_outputs = 0;
+  {
+    PJRT_Executable_NumOutputs_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+    args.executable = plain_exec;
+    Check(g_api->PJRT_Executable_NumOutputs(&args), "NumOutputs");
+    num_outputs = args.num_outputs;
+  }
+
+  std::vector<PJRT_Buffer*> output_storage(num_outputs, nullptr);
+  double total_ms = 0.0;
+  for (int it = 0; it < iters + 1; ++it) {  // first iter = warmup
+    PJRT_Buffer** output_list = output_storage.data();
+    PJRT_Buffer* const* input_list = inputs.data();
+    PJRT_LoadedExecutable_Execute_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+    args.executable = exec;
+    args.options = &exec_opts;
+    args.argument_lists = &input_list;
+    args.num_devices = 1;
+    args.num_args = inputs.size();
+    args.output_lists = &output_list;
+    PJRT_Event* done = nullptr;
+    args.device_complete_events = &done;
+    auto t0 = std::chrono::steady_clock::now();
+    Check(g_api->PJRT_LoadedExecutable_Execute(&args), "Execute");
+    if (done) {
+      PJRT_Event_Await_Args eargs;
+      std::memset(&eargs, 0, sizeof(eargs));
+      eargs.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+      eargs.event = done;
+      Check(g_api->PJRT_Event_Await(&eargs), "await execute");
+      PJRT_Event_Destroy_Args d;
+      std::memset(&d, 0, sizeof(d));
+      d.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+      d.event = done;
+      g_api->PJRT_Event_Destroy(&d);
+    }
+    double ms = std::chrono::duration<double, std::milli>(
+                    std::chrono::steady_clock::now() - t0)
+                    .count();
+    if (it > 0) total_ms += ms;
+    // destroy outputs of all but the last iteration
+    if (it < iters) {
+      for (PJRT_Buffer* b : output_storage) {
+        if (!b) continue;
+        PJRT_Buffer_Destroy_Args d;
+        std::memset(&d, 0, sizeof(d));
+        d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+        d.buffer = b;
+        g_api->PJRT_Buffer_Destroy(&d);
+      }
+    }
+  }
+
+  std::printf(
+      "{\"compile_ms\": %.1f, \"avg_exec_ms\": %.3f, \"iters\": %d, "
+      "\"num_outputs\": %zu}\n",
+      compile_ms, total_ms / iters, iters, num_outputs);
+  return 0;
+}
