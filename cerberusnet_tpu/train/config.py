@@ -64,6 +64,8 @@ class LossConfig:
     disp_weight: float = 1.0
     focal_gamma: Optional[float] = None
     robust_q: Optional[float] = None
+    photometric_weight: float = 0.0
+    smoothness_weight: float = 0.0
 
     @property
     def weights(self):

@@ -211,7 +211,8 @@ def multiscale_disparity_loss(
 # ---------------------------------------------------------------------------
 
 
-def joint_loss(outputs, batch, weights=None, focal_gamma=None, robust_q=None):
+def joint_loss(outputs, batch, weights=None, focal_gamma=None, robust_q=None,
+               photometric_weight: float = 0.0, smoothness_weight: float = 0.0):
     """Weighted multi-task loss (SURVEY.md §3 C11 'joint weighted sum').
 
     Tasks contribute only when both the model output and the GT are
@@ -240,5 +241,16 @@ def joint_loss(outputs, batch, weights=None, focal_gamma=None, robust_q=None):
             outputs["disp_pyramid"], batch["disp_gt"], batch.get("disp_valid")
         )
         total = total + weights.get("disp", 1.0) * comps["disp"]
+    # Unsupervised auxiliary terms for sparse-GT training (SURVEY.md §3 C11):
+    # photometric consistency between left and the flow-warped temporal
+    # frame, and edge-aware flow smoothness.
+    if photometric_weight and "flow" in outputs and "temporal" in batch:
+        comps["photometric"] = photometric_loss(
+            batch["left"], batch["temporal"], outputs["flow"]
+        )
+        total = total + photometric_weight * comps["photometric"]
+    if smoothness_weight and "flow" in outputs and "left" in batch:
+        comps["smoothness"] = smoothness_loss(outputs["flow"], batch["left"])
+        total = total + smoothness_weight * comps["smoothness"]
     comps["total"] = total
     return total, comps

@@ -234,6 +234,8 @@ class Trainer:
             weights=cfg.weights,
             focal_gamma=cfg.focal_gamma,
             robust_q=cfg.robust_q,
+            photometric_weight=cfg.photometric_weight,
+            smoothness_weight=cfg.smoothness_weight,
         )
         return total, comps
 

@@ -154,3 +154,38 @@ class TestMetrics:
         assert out["miou"] == 1.0
         assert out["flow_epe"] == 0.0
         assert out["disp_mae"] == 0.0
+
+
+class TestJointLoss:
+    def test_joint_weights_and_components(self):
+        rng = np.random.RandomState(0)
+        outputs = {
+            "seg_logits": jnp.asarray(rng.randn(1, 8, 8, 3), jnp.float32),
+            "flow": jnp.asarray(rng.randn(1, 8, 8, 2), jnp.float32),
+            "flow_pyramid": {2: jnp.asarray(rng.randn(1, 2, 2, 2), jnp.float32)},
+            "disp_pyramid": {2: jnp.asarray(rng.rand(1, 2, 2, 1), jnp.float32)},
+        }
+        batch = {
+            "left": jnp.asarray(rng.rand(1, 8, 8, 3), jnp.float32),
+            "temporal": jnp.asarray(rng.rand(1, 8, 8, 3), jnp.float32),
+            "seg_labels": jnp.zeros((1, 8, 8), jnp.int32),
+            "flow_gt": jnp.asarray(rng.randn(1, 8, 8, 2), jnp.float32),
+            "disp_gt": jnp.asarray(rng.rand(1, 8, 8), jnp.float32),
+        }
+        total, comps = losses.joint_loss(
+            outputs, batch, photometric_weight=0.1, smoothness_weight=0.05
+        )
+        assert {"seg", "flow", "disp", "photometric", "smoothness", "total"} <= set(
+            comps
+        )
+        recon = (
+            comps["seg"] + comps["flow"] + comps["disp"]
+            + 0.1 * comps["photometric"] + 0.05 * comps["smoothness"]
+        )
+        np.testing.assert_allclose(float(total), float(recon), rtol=1e-6)
+
+    def test_missing_tasks_contribute_zero(self):
+        outputs = {"seg_logits": jnp.zeros((1, 4, 4, 3))}
+        batch = {"seg_labels": jnp.zeros((1, 4, 4), jnp.int32)}
+        total, comps = losses.joint_loss(outputs, batch)
+        assert set(comps) == {"seg", "total"}

@@ -1,0 +1,70 @@
+"""Cross-framework fidelity test (SURVEY.md §7 'fidelity demonstrated as
+... equivalence'): the flax CerberusNet and the architecture-equivalent
+PyTorch mirror (tools/torch_baseline) produce numerically identical outputs
+after weight transfer — which also certifies bench.py's vs_baseline
+comparison as apples-to-apples."""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import torch  # noqa: E402
+
+from cerberusnet_tpu.models import CerberusNet  # noqa: E402
+from tools.parity import transfer_cerberus  # noqa: E402
+from tools.torch_baseline import TorchCerberus  # noqa: E402
+
+TINY = dict(
+    encoder_channels=(8, 12, 16, 16, 16, 16),
+    est_channels=(16, 16, 12),
+    ctx_channels=(16, 16),
+    fpn_channels=16,
+)
+
+
+@pytest.fixture(scope="module")
+def parity_pair():
+    model = CerberusNet(corr_impl="pure", num_classes=7, **TINY)
+    rng = np.random.RandomState(0)
+    imgs = tuple(
+        jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32) for _ in range(3)
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
+    tmodel = TorchCerberus(
+        enc=TINY["encoder_channels"],
+        est=TINY["est_channels"],
+        ctx=TINY["ctx_channels"],
+        fpn=TINY["fpn_channels"],
+        num_classes=7,
+    ).eval()
+    transfer_cerberus(variables, tmodel)
+    return model, variables, tmodel, imgs
+
+
+class TestTorchParity:
+    def test_full_forward_matches(self, parity_pair):
+        model, variables, tmodel, imgs = parity_pair
+        jout = jax.jit(model.apply)(variables, *imgs)
+        with torch.no_grad():
+            tout = tmodel(
+                *[torch.tensor(np.asarray(im)).permute(0, 3, 1, 2) for im in imgs]
+            )
+        for key, jkey in (("seg_logits", "seg_logits"), ("flow", "flow"),
+                          ("disp", "disp")):
+            tv = tout[key].permute(0, 2, 3, 1).numpy()
+            jv = np.asarray(jout[jkey])
+            err = np.abs(tv - jv).max()
+            scale = max(np.abs(jv).max(), 1.0)
+            assert err / scale < 2e-3, f"{key}: max rel err {err / scale}"
+
+    def test_outputs_nontrivial(self, parity_pair):
+        # guard against both sides degenerating to zeros
+        model, variables, tmodel, imgs = parity_pair
+        jout = jax.jit(model.apply)(variables, *imgs)
+        assert float(jnp.abs(jout["seg_logits"]).max()) > 1e-3

@@ -1,17 +1,24 @@
-"""PyTorch-CPU reference baseline for the throughput target.
+"""PyTorch-CPU reference baseline + parity mirror.
 
 [BASELINE:L5] sets the rebuild target as ">=5x PyTorch-CPU-reference
 full-3-head forward throughput per v5e chip". The reference code itself is
 unrecoverable (SURVEY.md §0), so this module implements an architecture-
-equivalent PyTorch model — same pyramid encoder widths, same three decoder
-heads, same correlation windows and DenseNet estimator shapes as
-cerberusnet_tpu (built from the same SURVEY.md §9 specs) — and measures its
-CPU forward FPS at the [BASELINE:L10] configuration. bench.py reports
-vs_baseline = tpu_fps / this.
+EQUIVALENT PyTorch model — same pyramid encoder widths, decoder heads,
+correlation windows and DenseNet estimator shapes as cerberusnet_tpu, built
+from the same SURVEY.md §9 specs — and measures its CPU forward FPS at the
+[BASELINE:L10] configuration. bench.py reports vs_baseline = tpu_fps / this.
 
-This is deliberately a fair, idiomatic torch implementation (vectorized
-shifts for correlation, grid_sample for warping, channels-first conv2d), not
-a strawman.
+Equivalence is NOT asserted by construction alone: tools/parity.py can
+transfer flax weights into this model and tests/test_torch_parity.py proves
+the two frameworks produce numerically identical outputs (<=1e-3) — so the
+throughput comparison is apples-to-apples. To keep that exact:
+  * stride-2 convs pad asymmetrically (0,1,0,1) like XLA 'SAME'
+  * x4 upsampling is two x2 bilinear steps (matches upsample2x twice)
+  * warping uses align_corners=True grids (pixel coordinates)
+
+This is an idiomatic torch implementation (vectorized shifts for
+correlation, grid_sample for warping, channels-first conv2d), not a
+strawman.
 """
 
 from __future__ import annotations
@@ -67,21 +74,35 @@ def warp(f, flow):
                          align_corners=True)
 
 
+def up2(x):
+    return F.interpolate(x, scale_factor=2, mode="bilinear", align_corners=False)
+
+
+def up4(x):
+    # two x2 steps — bit-matches cerberusnet_tpu's upsample2x(upsample2x(.))
+    return up2(up2(x))
+
+
+def strided_conv(cin, ch):
+    """Stride-2 3x3 conv with XLA-'SAME' asymmetric padding (0,1,0,1)."""
+    return nn.Sequential(nn.ZeroPad2d((0, 1, 0, 1)), nn.Conv2d(cin, ch, 3, 2, 0))
+
+
 class Encoder(nn.Module):
-    def __init__(self):
+    def __init__(self, channels=ENC):
         super().__init__()
         self.stages = nn.ModuleList()
         cin = 3
-        for ch in ENC:
+        for ch in channels:
             self.stages.append(
                 nn.Sequential(
-                    nn.Conv2d(cin, ch, 3, 2, 1), nn.LeakyReLU(0.1),
+                    strided_conv(cin, ch), nn.LeakyReLU(0.1),
                     nn.Conv2d(ch, ch, 3, 1, 1), nn.LeakyReLU(0.1),
                     nn.Conv2d(ch, ch, 3, 1, 1), nn.LeakyReLU(0.1),
                 )
             )
             cin = ch
-        self.out_channels = ENC
+        self.out_channels = channels
 
     def forward(self, x):
         feats = []
@@ -92,11 +113,11 @@ class Encoder(nn.Module):
 
 
 class Estimator(nn.Module):
-    def __init__(self, cin, out_ch):
+    def __init__(self, cin, out_ch, est=EST):
         super().__init__()
         self.convs = nn.ModuleList()
         c = cin
-        for ch in EST:
+        for ch in est:
             self.convs.append(nn.Conv2d(c, ch, 3, 1, 1))
             c += ch
         self.pred = nn.Conv2d(c, out_ch, 3, 1, 1)
@@ -109,12 +130,12 @@ class Estimator(nn.Module):
 
 
 class Context(nn.Module):
-    def __init__(self, cin, out_ch):
+    def __init__(self, cin, out_ch, ctx=CTX, dil=CTX_DIL):
         super().__init__()
         layers = []
         c = cin
-        for ch, dil in zip(CTX, CTX_DIL):
-            layers += [nn.Conv2d(c, ch, 3, 1, dil, dilation=dil), nn.LeakyReLU(0.1)]
+        for ch, d in zip(ctx, dil):
+            layers += [nn.Conv2d(c, ch, 3, 1, d, dilation=d), nn.LeakyReLU(0.1)]
             c = ch
         layers.append(nn.Conv2d(c, out_ch, 3, 1, 1))
         self.net = nn.Sequential(*layers)
@@ -124,7 +145,7 @@ class Context(nn.Module):
 
 
 class FlowHead(nn.Module):
-    def __init__(self, enc_channels, d=4):
+    def __init__(self, enc_channels=ENC, d=4, est=EST, ctx=CTX):
         super().__init__()
         self.d = d
         nk = (2 * d + 1) ** 2
@@ -132,13 +153,12 @@ class FlowHead(nn.Module):
         self.upfeat = nn.ModuleDict()
         for l in (6, 5, 4, 3, 2):
             extra = 0 if l == 6 else 2 + 2
-            est = Estimator(nk + enc_channels[l - 1] + extra, 2)
-            self.est[str(l)] = est
+            e = Estimator(nk + enc_channels[l - 1] + extra, 2, est)
+            self.est[str(l)] = e
             if l != 2:
-                self.upfeat[str(l)] = nn.ConvTranspose2d(
-                    est.feat_channels, 2, 4, 2, 1
-                )
-        self.ctx = Context(self.est["2"].feat_channels, 2)
+                self.upfeat[str(l)] = nn.ConvTranspose2d(e.feat_channels, 2, 4, 2, 1)
+        self.ctx = Context(self.est["2"].feat_channels, 2, ctx,
+                           CTX_DIL[: len(ctx)])
 
     def forward(self, f1s, f2s):
         flow, up_feat = None, None
@@ -148,8 +168,7 @@ class FlowHead(nn.Module):
                 cv = lrelu(corr2d(f1, f2, self.d))
                 x = torch.cat([cv, f1], 1)
             else:
-                up_flow = 2.0 * F.interpolate(flow, scale_factor=2, mode="bilinear",
-                                              align_corners=False)
+                up_flow = 2.0 * up2(flow)
                 f2w = warp(f2, up_flow)
                 cv = lrelu(corr2d(f1, f2w, self.d))
                 x = torch.cat([cv, f1, up_flow, up_feat], 1)
@@ -159,12 +178,11 @@ class FlowHead(nn.Module):
                 flow = flow + self.ctx(feat)
             else:
                 up_feat = lrelu(self.upfeat[str(l)](feat))
-        return 4.0 * F.interpolate(flow, scale_factor=4, mode="bilinear",
-                                   align_corners=False)
+        return 4.0 * up4(flow)
 
 
 class DispHead(nn.Module):
-    def __init__(self, enc_channels, max_disp_full=96):
+    def __init__(self, enc_channels=ENC, max_disp_full=96, est=EST, ctx=CTX):
         super().__init__()
         self.max_disp_full = max_disp_full
         self.est = nn.ModuleDict()
@@ -172,13 +190,12 @@ class DispHead(nn.Module):
         for l in (6, 5, 4, 3, 2):
             nk = max(max_disp_full // (2**l), 4) + 1
             extra = 0 if l == 6 else 1 + 2
-            est = Estimator(nk + enc_channels[l - 1] + extra, 1)
-            self.est[str(l)] = est
+            e = Estimator(nk + enc_channels[l - 1] + extra, 1, est)
+            self.est[str(l)] = e
             if l != 2:
-                self.upfeat[str(l)] = nn.ConvTranspose2d(
-                    est.feat_channels, 2, 4, 2, 1
-                )
-        self.ctx = Context(self.est["2"].feat_channels, 1)
+                self.upfeat[str(l)] = nn.ConvTranspose2d(e.feat_channels, 2, 4, 2, 1)
+        self.ctx = Context(self.est["2"].feat_channels, 1, ctx,
+                           CTX_DIL[: len(ctx)])
 
     def forward(self, fls, frs):
         disp, up_feat = None, None
@@ -189,8 +206,7 @@ class DispHead(nn.Module):
                 cv = lrelu(corr1d(f1, f2, dmax))
                 x = torch.cat([cv, f1], 1)
             else:
-                up_disp = 2.0 * F.interpolate(disp, scale_factor=2, mode="bilinear",
-                                              align_corners=False)
+                up_disp = 2.0 * up2(disp)
                 flow = torch.cat([-up_disp, torch.zeros_like(up_disp)], 1)
                 f2w = warp(f2, flow)
                 cv = lrelu(corr1d(f1, f2w, dmax))
@@ -201,18 +217,17 @@ class DispHead(nn.Module):
                 disp = disp + self.ctx(feat)
             else:
                 up_feat = lrelu(self.upfeat[str(l)](feat))
-        return 4.0 * F.interpolate(disp, scale_factor=4, mode="bilinear",
-                                   align_corners=False)
+        return 4.0 * up4(disp)
 
 
 class SegHead(nn.Module):
-    def __init__(self, enc_channels, num_classes=19, fpn=96):
+    def __init__(self, enc_channels=ENC, num_classes=19, fpn=96):
         super().__init__()
         self.lat = nn.ModuleDict(
-            {str(l): nn.Conv2d(enc_channels[l - 1], fpn, 1) for l in (2, 3, 4, 5, 6)}
+            {str(l): nn.Conv2d(enc_channels[l - 1], fpn, 1) for l in (6, 5, 4, 3, 2)}
         )
         self.smooth = nn.ModuleDict(
-            {str(l): nn.Conv2d(fpn, fpn, 3, 1, 1) for l in (2, 3, 4, 5)}
+            {str(l): nn.Conv2d(fpn, fpn, 3, 1, 1) for l in (5, 4, 3, 2)}
         )
         self.final = nn.Conv2d(fpn, fpn, 3, 1, 1)
         self.cls = nn.Conv2d(fpn, num_classes, 3, 1, 1)
@@ -230,12 +245,13 @@ class SegHead(nn.Module):
 
 
 class TorchCerberus(nn.Module):
-    def __init__(self):
+    def __init__(self, enc=ENC, est=EST, ctx=CTX, fpn=96, num_classes=19,
+                 max_disp_full=96):
         super().__init__()
-        self.enc = Encoder()
-        self.flow = FlowHead(ENC)
-        self.disp = DispHead(ENC)
-        self.seg = SegHead(ENC)
+        self.enc = Encoder(enc)
+        self.flow = FlowHead(enc, 4, est, ctx)
+        self.disp = DispHead(enc, max_disp_full, est, ctx)
+        self.seg = SegHead(enc, num_classes, fpn)
 
     def forward(self, left, right, temporal):
         fl = self.enc(left)
