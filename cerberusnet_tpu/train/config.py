@@ -88,6 +88,11 @@ class TrainConfig:
     num_data_devices: int = 0  # 0 = all visible devices
     num_spatial_devices: int = 1
     remat: bool = False  # jax.checkpoint the forward (HBM <-> FLOPs trade)
+    # Sanitizers (SURVEY.md §6.2): jax_debug_nans aborts on the first
+    # non-finite value; interpret_kernels runs every Pallas kernel in
+    # interpreter mode (bounds-checked, CPU-exact) regardless of backend.
+    debug_nans: bool = False
+    interpret_kernels: bool = False
 
 
 @dataclasses.dataclass

@@ -135,6 +135,11 @@ class TrainState(train_state.TrainState):
 class Trainer:
     def __init__(self, config: ExperimentConfig, dataset=None, eval_dataset=None):
         self.config = config
+        if config.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        if config.train.interpret_kernels and config.model.corr_impl is None:
+            # force the pure (interpretable, bounds-exact) op path
+            config.model.corr_impl = "pure"
         self.model, self.forward, self.example_keys = build_model(config.model)
         self.tx = build_optimizer(config.optim)
         self.mesh = make_mesh(
@@ -264,6 +269,13 @@ class Trainer:
     # -- public API ---------------------------------------------------------
 
     def train_step(self, batch):
+        n = len(batch["left"])
+        ndata = self.mesh.shape["data"]
+        if n % ndata:
+            raise ValueError(
+                f"batch size {n} is not divisible by the data-parallel mesh "
+                f"axis ({ndata} devices); adjust data.batch_size"
+            )
         batch = self.preprocess(shard_batch(batch, self.mesh))
         self.state, comps = self._train_step(self.state, batch)
         return comps
