@@ -4,11 +4,11 @@ Headline metric ([BASELINE:L10] config 4): full 3-head CerberusNet joint
 inference, bf16, batched 1024x512 stereo pairs, frames/sec/chip.
 vs_baseline = tpu_fps / torch_cpu_fps (the [BASELINE:L5] target is >= 5).
 
-Timing methodology: the remote-TPU dispatch path in this environment has
-~100 ms per-call latency, so naive python-loop timing measures the tunnel,
-not the chip. All measurements run `iters` forwards INSIDE one jitted
-lax.fori_loop (inputs perturbed per iteration so nothing hoists) — a single
-dispatch, on-device iteration.
+Timing methodology (cerberusnet_tpu.utils.benchutil): iterations are
+statically unrolled inside ONE jitted program (per-call dispatch costs ms
+here and fori_loop adds ~1 ms/iteration of its own), the final scalar is
+FETCHED to the host (block_until_ready returns at enqueue on this backend,
+not completion), and the dispatch+fetch round-trip floor is subtracted.
 
 Usage:
   python bench.py            # headline metric, one JSON line on stdout
@@ -29,21 +29,10 @@ import jax.numpy as jnp
 
 
 def _loop_time(fn, args, iters, reduce_out):
-    """Run fn(*args) iters times inside one jitted fori_loop; return sec/iter."""
+    """Seconds per call of fn(*args), honest on this async remote backend."""
+    from cerberusnet_tpu.utils.benchutil import time_fn
 
-    def body(i, acc):
-        eps = (i.astype(jnp.float32) * 1e-9).astype(args[0].dtype)
-        out = fn(args[0] + eps, *args[1:])
-        return acc + reduce_out(out)
-
-    @jax.jit
-    def run():
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
-
-    run().block_until_ready()  # compile + warmup
-    t0 = time.time()
-    run().block_until_ready()
-    return (time.time() - t0) / iters
+    return time_fn(fn, args, iters=iters, reduce_out=reduce_out)
 
 
 def bench_full3head(batch=2, hw=(512, 1024), iters=10, dtype=jnp.bfloat16,
@@ -139,7 +128,7 @@ def bench_train_step(batch=2, hw=(512, 1024), iters=5):
     def step(carry, i):
         params, opt_state = carry
         bd = dict(batch_d)
-        bd["left"] = bd["left"] + (i.astype(jnp.float32) * 1e-9).astype(bd["left"].dtype)
+        bd["left"] = bd["left"] + (i * 1e-9).astype(bd["left"].dtype)
         grads = jax.grad(loss_fn)(params, bd)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -147,17 +136,17 @@ def bench_train_step(batch=2, hw=(512, 1024), iters=5):
 
     @jax.jit
     def run(params, opt_state):
-        (params, opt_state), _ = jax.lax.scan(
-            step, (params, opt_state), jnp.arange(iters)
-        )
-        return params
+        for i in range(iters):
+            (params, opt_state), _ = step((params, opt_state), jnp.float32(i))
+        return jax.tree.leaves(params)[0].astype(jnp.float32).mean()
 
-    out = run(variables["params"], opt_state)
-    jax.block_until_ready(out)
+    from cerberusnet_tpu.utils.benchutil import roundtrip_floor
+
+    float(run(variables["params"], opt_state))  # compile + warmup
+    floor = roundtrip_floor()
     t0 = time.time()
-    out = run(variables["params"], opt_state)
-    jax.block_until_ready(out)
-    sec = (time.time() - t0) / iters
+    float(run(variables["params"], opt_state))
+    sec = max(time.time() - t0 - floor, 1e-9) / iters
     return batch / sec  # training frames/sec/chip
 
 
