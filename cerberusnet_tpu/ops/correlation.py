@@ -16,13 +16,18 @@ float32 regardless of input dtype; output dtype matches input dtype.
 Layout is NHWC (TPU-native: channels in the minor/lane dimension).
 
 Two implementations share these exact semantics:
-  * ``impl='pure'``  — jnp slicing + multiply-reduce; the differentiable
-    oracle used on CPU and in unit tests.
-  * ``impl='pallas'``— Pallas TPU kernels (fwd + two bwd kernels via
-    jax.custom_vjp) in cerberusnet_tpu.ops.pallas.correlation; reads each
-    input once into VMEM instead of materializing 81 shifted copies.
-``impl=None`` ('auto') picks pallas on TPU when the padded f2 block fits a
-conservative VMEM budget, else pure.
+  * ``impl='pure'``  — jnp shifted multiply-reduce, fully fused by XLA.
+  * ``impl='pallas'``— hand-written Pallas TPU kernels (fwd + two bwd
+    kernels via jax.custom_vjp) in cerberusnet_tpu.ops.pallas.correlation.
+
+``impl=None`` ('auto') picks PURE: measured on v5e (honest fetch-based
+timing, tools/kernel_bench.py), XLA's fusion of the static-shift formulation
+beats the hand-written kernels ~2-3x on both forward (460 vs 1100 us at the
+level-2 shape, bf16) and backward (740 vs 1570 us) — the correlation window
+is static, so XLA sees plain pad/slice/multiply/reduce chains it schedules
+extremely well. The Pallas kernels remain available (and unit-tested against
+the same golden semantics) for explicit opt-in and as the basis for future
+fusion work (e.g. folding the LeakyReLU + concat into the cost-volume pass).
 """
 
 from __future__ import annotations
@@ -32,21 +37,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# Conservative per-input VMEM budget for holding a full padded (H, W, C) f2
-# slab per batch element inside the kernel (v5e has ~16 MB VMEM more).
-_VMEM_BUDGET_BYTES = 6 * 1024 * 1024
-
-
-def _use_pallas(impl, f2_padded_elems, itemsize):
-    if impl == "pure":
-        return False
+def _use_pallas(impl):
+    if impl in (None, "auto", "pure"):
+        return False  # auto == pure (see module docstring)
     if impl == "pallas":
         return True
-    if impl not in (None, "auto"):
-        raise ValueError(f"unknown impl {impl!r}")
-    if jax.default_backend() != "tpu":
-        return False
-    return f2_padded_elems * max(itemsize, 4) <= _VMEM_BUDGET_BYTES
+    raise ValueError(f"unknown impl {impl!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -95,9 +91,7 @@ def correlation2d(f1, f2, max_disp: int = 4, impl: str | None = None):
     """
     if f1.shape != f2.shape:
         raise ValueError(f"f1/f2 shape mismatch: {f1.shape} vs {f2.shape}")
-    b, h, w, c = f1.shape
-    d = max_disp
-    if _use_pallas(impl, (h + 2 * d) * (w + 2 * d) * c, f1.dtype.itemsize):
+    if _use_pallas(impl):
         from cerberusnet_tpu.ops.pallas.correlation import correlation2d_pallas
 
         return correlation2d_pallas(f1, f2, max_disp)
@@ -113,8 +107,7 @@ def correlation1d(f1, f2, max_disp: int = 24, impl: str | None = None):
     """
     if f1.shape != f2.shape:
         raise ValueError(f"f1/f2 shape mismatch: {f1.shape} vs {f2.shape}")
-    b, h, w, c = f1.shape
-    if _use_pallas(impl, h * (w + max_disp) * c, f1.dtype.itemsize):
+    if _use_pallas(impl):
         from cerberusnet_tpu.ops.pallas.correlation import correlation1d_pallas
 
         return correlation1d_pallas(f1, f2, max_disp)

@@ -1,6 +1,6 @@
 """Correlation-kernel microbenchmark: Pallas vs pure-XLA at the real
-pyramid shapes (1024x512 input), timed with on-device fori_loop iteration
-(one dispatch; tunnel latency excluded). Writes kernel_bench.json.
+pyramid shapes (1024x512 input), honest fetch-based timing
+(cerberusnet_tpu.utils.benchutil). Writes kernel_bench.json.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/kernel_bench.py
 """
@@ -32,35 +32,24 @@ ITERS = 30
 
 
 def loop_time(fn, *args):
-    def body(i, acc):
-        out = fn(args[0] + (i * 1e-9).astype(args[0].dtype), *args[1:])
-        return acc + out.astype(jnp.float32).mean()
+    from cerberusnet_tpu.utils.benchutil import time_fn
 
-    @jax.jit
-    def run():
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
-
-    run().block_until_ready()
-    t0 = time.time()
-    run().block_until_ready()
-    return (time.time() - t0) / ITERS * 1e6  # us
+    return time_fn(fn, args, iters=ITERS) * 1e6  # us
 
 
 def grad_loop_time(fn, f1, f2):
-    g = jax.grad(lambda a, b: (fn(a, b).astype(jnp.float32) ** 2).sum(), argnums=(0, 1))
+    from cerberusnet_tpu.utils.benchutil import time_fn
 
-    def body(i, acc):
-        da, db = g(f1 + (i * 1e-9).astype(f1.dtype), f2)
-        return acc + da.astype(jnp.float32).mean() + db.astype(jnp.float32).mean()
+    g = jax.grad(
+        lambda a, b: (fn(a, b).astype(jnp.float32) ** 2).sum(), argnums=(0, 1)
+    )
 
-    @jax.jit
-    def run():
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+    def wrapped(a, b):
+        da, db = g(a, b)
+        return da.astype(jnp.float32).mean() + db.astype(jnp.float32).mean()
 
-    run().block_until_ready()
-    t0 = time.time()
-    run().block_until_ready()
-    return (time.time() - t0) / ITERS * 1e6
+    return time_fn(wrapped, (f1, f2), iters=ITERS,
+                   reduce_out=lambda o: o) * 1e6
 
 
 def main():
