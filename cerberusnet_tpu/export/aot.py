@@ -51,6 +51,16 @@ def save_exported(exported, out_dir: str) -> str:
         f.write(blob)
     with open(os.path.join(out_dir, "model.mlir"), "w") as f:
         f.write(exported.mlir_module())
+    # Serialized xla.CompileOptionsProto (num_replicas=1) for the C++ PJRT
+    # runner — PJRT_Client_Compile with empty options defaults to 0 replicas
+    # and fails.
+    try:
+        from jax._src.lib import xla_client
+
+        with open(os.path.join(out_dir, "compile_options.pb"), "wb") as f:
+            f.write(xla_client.CompileOptions().SerializeAsString())
+    except Exception:
+        pass  # runner can still be given options out-of-band
     manifest = {
         "platforms": list(exported.platforms),
         "inputs": [

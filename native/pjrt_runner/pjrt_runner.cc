@@ -219,15 +219,24 @@ int main(int argc, char** argv) {
     program.format = kFormat;
     program.format_size = sizeof(kFormat) - 1;
 
-    // Empty CompileOptionsProto: PJRT plugins accept an empty serialized
-    // proto as "defaults" (single device, no sharding).
+    // Serialized xla.CompileOptionsProto (exported alongside the model by
+    // cerberusnet_tpu.export; empty options would default to 0 replicas).
+    std::string copts;
+    {
+      std::ifstream f(model_path + "/compile_options.pb", std::ios::binary);
+      if (f) {
+        std::ostringstream ss;
+        ss << f.rdbuf();
+        copts = ss.str();
+      }
+    }
     PJRT_Client_Compile_Args args;
     std::memset(&args, 0, sizeof(args));
     args.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
     args.client = client;
     args.program = &program;
-    args.compile_options = nullptr;
-    args.compile_options_size = 0;
+    args.compile_options = copts.empty() ? nullptr : copts.data();
+    args.compile_options_size = copts.size();
     Check(g_api->PJRT_Client_Compile(&args), "PJRT_Client_Compile");
     exec = args.executable;
   }
@@ -326,6 +335,31 @@ int main(int argc, char** argv) {
       d.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
       d.event = done;
       g_api->PJRT_Event_Destroy(&d);
+    }
+    // Force completion: the device_complete event on async backends can
+    // fire at enqueue; a D2H readback of one output cannot.
+    if (output_storage[0]) {
+      PJRT_Buffer_ToHostBuffer_Args th;
+      std::memset(&th, 0, sizeof(th));
+      th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+      th.src = output_storage[0];
+      th.dst = nullptr;  // size query
+      Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHostBuffer size");
+      std::vector<char> host(th.dst_size);
+      th.dst = host.data();
+      Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHostBuffer");
+      if (th.event) {
+        PJRT_Event_Await_Args eargs;
+        std::memset(&eargs, 0, sizeof(eargs));
+        eargs.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+        eargs.event = th.event;
+        Check(g_api->PJRT_Event_Await(&eargs), "await d2h");
+        PJRT_Event_Destroy_Args d;
+        std::memset(&d, 0, sizeof(d));
+        d.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+        d.event = th.event;
+        g_api->PJRT_Event_Destroy(&d);
+      }
     }
     double ms = std::chrono::duration<double, std::milli>(
                     std::chrono::steady_clock::now() - t0)
