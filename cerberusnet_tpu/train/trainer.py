@@ -325,6 +325,12 @@ class Trainer:
                 and (epoch + 1) % cfg.train.eval_every_epochs == 0
             ):
                 row.update(self.evaluate())
+                if cfg.train.ckpt_dir:
+                    self.dump_visualization(
+                        os.path.join(
+                            cfg.train.ckpt_dir, f"predictions_epoch{epoch}.png"
+                        )
+                    )
             self.history.append(row)
             print(f"[epoch {epoch}] {row}")
             if log_path:
@@ -347,6 +353,27 @@ class Trainer:
             args=ocp.args.StandardSave(jax.tree.map(np.asarray, self.state)),
         )
         self._ckpt_mgr.wait_until_finished()
+
+    def dump_visualization(self, path: str):
+        """Render predictions on one sample into a panel image (SURVEY.md §3
+        C18: the reference's tensorboard image panels -> PNG dumps)."""
+        import numpy as np
+
+        from cerberusnet_tpu.data import io as data_io
+        from cerberusnet_tpu.utils import visualization as vis
+
+        batch = next(iter(DataLoader(self.dataset, batch_size=1, num_workers=1)))
+        prep = self.preprocess(batch)
+        out = jax.jit(self.forward)({"params": self.state.params}, prep)
+        panel_inputs = {"image": np.asarray(batch["left"][0])}
+        if "seg_logits" in out:
+            panel_inputs["seg"] = np.asarray(out["seg_logits"][0].argmax(-1))
+        if "flow" in out:
+            panel_inputs["flow"] = np.asarray(out["flow"][0])
+        if "disp" in out:
+            panel_inputs["disp"] = np.asarray(out["disp"][0, ..., 0])
+        data_io.write_image_u8(path, vis.summary_panel(panel_inputs))
+        return path
 
     def profile(self, log_dir: str, steps: int = 5):
         """Capture an XProf/Perfetto trace of a few train steps (§6.1)."""
