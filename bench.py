@@ -153,7 +153,7 @@ def bench_train_step(batch=2, hw=(512, 1024), iters=5):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="also write BENCH_details.json")
-    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=1)  # measured best fps/chip (87 vs 77 at b2, 47 at b8): 1024x512 spatial already saturates the chip
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--skip-torch", action="store_true")
     args = ap.parse_args()
