@@ -136,3 +136,53 @@ class TestDataLoader:
             np.asarray(batch["flow_gt"]).mean() * 0.5,
             rtol=0.2, atol=0.05,
         )
+
+
+class TestCityscapesLoader:
+    def _write_fixture(self, root):
+        import os
+        from cerberusnet_tpu.data import io as data_io
+
+        rng = np.random.RandomState(0)
+        city, seq, frame = "testcity", "000000", "000019"
+        base = f"{city}_{seq}_{frame}"
+        for sub, suffix, img in [
+            ("leftImg8bit", "_leftImg8bit.png",
+             (rng.rand(64, 96, 3) * 255).astype(np.uint8)),
+            ("rightImg8bit", "_rightImg8bit.png",
+             (rng.rand(64, 96, 3) * 255).astype(np.uint8)),
+        ]:
+            d = os.path.join(root, sub, "train", city)
+            os.makedirs(d, exist_ok=True)
+            data_io.write_image_u8(os.path.join(d, base + suffix), img)
+        # labelIds (single-channel uint8) and 16-bit disparity
+        import cv2
+
+        d = os.path.join(root, "gtFine", "train", city)
+        os.makedirs(d, exist_ok=True)
+        labels = rng.choice([7, 26, 0], (64, 96)).astype(np.uint8)
+        cv2.imwrite(os.path.join(d, base + "_gtFine_labelIds.png"), labels)
+        d = os.path.join(root, "disparity", "train", city)
+        os.makedirs(d, exist_ok=True)
+        disp_png = (rng.rand(64, 96) * 20000).astype(np.uint16)
+        cv2.imwrite(os.path.join(d, base + "_disparity.png"), disp_png)
+        return labels, disp_png
+
+    def test_loads_all_modalities(self, tmp_path):
+        from cerberusnet_tpu.data.cityscapes import CityscapesDataset
+
+        labels, disp_png = self._write_fixture(str(tmp_path))
+        ds = CityscapesDataset(str(tmp_path), "train")
+        assert len(ds) == 1
+        s = ds[0]
+        assert s["left"].shape == (64, 96, 3)
+        assert s["right"].shape == (64, 96, 3)
+        # no sequence package -> temporal falls back to left
+        np.testing.assert_array_equal(s["temporal"], s["left"])
+        # labelId 7 -> trainId 0, 26 -> 13, 0 -> 255
+        expected = encodings.labelids_to_trainids(labels)
+        np.testing.assert_array_equal(s["seg_labels"], expected)
+        valid = disp_png > 0
+        np.testing.assert_allclose(
+            s["disp_gt"][valid], (disp_png[valid].astype(np.float32) - 1) / 256
+        )
