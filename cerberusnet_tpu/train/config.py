@@ -43,6 +43,11 @@ class DataConfig:
     shuffle: bool = True
     synthetic_length: int = 64
     synthetic_sparse: bool = False
+    # Augmentations (device-side, SURVEY.md §4.4); crop_hw None = off.
+    crop_hw: Optional[Tuple[int, int]] = None
+    flip_lr_prob: float = 0.0
+    brightness: float = 0.0
+    contrast: float = 0.0
 
 
 @dataclasses.dataclass
@@ -66,6 +71,9 @@ class LossConfig:
     robust_q: Optional[float] = None
     photometric_weight: float = 0.0
     smoothness_weight: float = 0.0
+    # Kendall-style homoscedastic task weighting (SURVEY.md §9.6 variant):
+    # learnable per-task log-variances replace the fixed weights.
+    uncertainty_weighting: bool = False
 
     @property
     def weights(self):

@@ -254,3 +254,14 @@ def joint_loss(outputs, batch, weights=None, focal_gamma=None, robust_q=None,
         total = total + smoothness_weight * comps["smoothness"]
     comps["total"] = total
     return total, comps
+
+
+def uncertainty_weighted_total(comps, log_vars):
+    """Kendall et al. homoscedastic multi-task weighting (SURVEY.md §9.6
+    'uncertainty weighting a la Kendall'): total = sum_t exp(-s_t) * L_t
+    + 0.5 * s_t over tasks present, with learnable log-variances s_t."""
+    total = 0.0
+    for task, s in log_vars.items():
+        if task in comps:
+            total = total + jnp.exp(-s) * comps[task] + 0.5 * s
+    return total

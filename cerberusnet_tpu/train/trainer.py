@@ -27,6 +27,7 @@ import numpy as np
 import optax
 from flax.training import train_state
 
+from cerberusnet_tpu.data.augment import AugmentConfig, augment_batch
 from cerberusnet_tpu.data.loader import DataLoader, make_preprocess_fn
 from cerberusnet_tpu.models import CerberusNet, FlowNet, SegNet, StereoNet
 from cerberusnet_tpu.parallel import make_mesh, replicated_sharding, shard_batch
@@ -148,6 +149,14 @@ class Trainer:
         self.preprocess = make_preprocess_fn(
             out_hw=tuple(config.data.hw), dtype=config.model.jnp_dtype
         )
+        d = config.data
+        self.augment_config = AugmentConfig(
+            crop_hw=tuple(d.crop_hw) if d.crop_hw else None,
+            flip_lr_prob=d.flip_lr_prob,
+            brightness=d.brightness,
+            contrast=d.contrast,
+        )
+        self._aug_rng = jax.random.PRNGKey(config.train.seed + 1)
         self.dataset = dataset if dataset is not None else self._build_dataset()
         self.eval_dataset = eval_dataset
         self.state = self._create_state()
@@ -197,8 +206,15 @@ class Trainer:
             )
         )
         variables = init(rng, batch)
+        params = dict(variables["params"])
+        if self.config.loss.uncertainty_weighting:
+            # learnable per-task log-variances ride in the param tree under a
+            # reserved key (popped before model.apply in _loss_fn)
+            params["__task_uncertainty__"] = {
+                t: jnp.zeros((), jnp.float32) for t in ("seg", "flow", "disp")
+            }
         state = TrainState.create(
-            apply_fn=self.model.apply, params=variables["params"], tx=self.tx
+            apply_fn=self.model.apply, params=params, tx=self.tx
         )
         # replicate over the mesh
         return jax.device_put(state, replicated_sharding(self.mesh))
@@ -231,6 +247,10 @@ class Trainer:
     # -- steps --------------------------------------------------------------
 
     def _loss_fn(self, params, batch):
+        log_vars = None
+        if "__task_uncertainty__" in params:
+            params = dict(params)
+            log_vars = params.pop("__task_uncertainty__")
         outputs = self.forward({"params": params}, batch)
         cfg = self.config.loss
         total, comps = losses_lib.joint_loss(
@@ -242,6 +262,10 @@ class Trainer:
             photometric_weight=cfg.photometric_weight,
             smoothness_weight=cfg.smoothness_weight,
         )
+        if log_vars is not None:
+            total = losses_lib.uncertainty_weighted_total(comps, log_vars)
+            comps = dict(comps)
+            comps["total"] = total
         return total, comps
 
     def _make_train_step(self):
@@ -276,7 +300,11 @@ class Trainer:
                 f"batch size {n} is not divisible by the data-parallel mesh "
                 f"axis ({ndata} devices); adjust data.batch_size"
             )
-        batch = self.preprocess(shard_batch(batch, self.mesh))
+        batch = shard_batch(batch, self.mesh)
+        if self.augment_config.enabled:
+            self._aug_rng, k = jax.random.split(self._aug_rng)
+            batch = augment_batch(batch, k, self.augment_config)
+        batch = self.preprocess(batch)
         self.state, comps = self._train_step(self.state, batch)
         return comps
 

@@ -93,3 +93,23 @@ class TestCheckpointing:
         p1 = jax.tree.leaves(t1.state.params)[0]
         p2 = jax.tree.leaves(t2.state.params)[0]
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+
+
+class TestUncertaintyWeighting:
+    def test_logvars_learn(self):
+        cfg = tiny_config()
+        cfg.loss.uncertainty_weighting = True
+        t = Trainer(cfg)
+        assert "__task_uncertainty__" in t.state.params
+        ds = SyntheticPerceptionDataset(length=2, hw=(64, 64))
+        batch = next(iter(DataLoader(ds, batch_size=2, num_workers=1)))
+        before = {
+            k: float(v) for k, v in t.state.params["__task_uncertainty__"].items()
+        }
+        for _ in range(3):
+            comps = t.train_step(batch)
+        assert np.isfinite(float(comps["total"]))
+        after = {
+            k: float(v) for k, v in t.state.params["__task_uncertainty__"].items()
+        }
+        assert any(abs(after[k] - before[k]) > 1e-6 for k in before)
