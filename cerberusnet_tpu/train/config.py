@@ -37,6 +37,7 @@ class DataConfig:
     dataset: str = "synthetic"  # synthetic | kitti | cityscapes
     root: str = ""
     split: str = "training"
+    eval_split: Optional[str] = None  # e.g. "val" for cityscapes
     hw: Tuple[int, int] = (512, 1024)  # [BASELINE:L2] working resolution
     batch_size: int = 4
     num_workers: int = 4

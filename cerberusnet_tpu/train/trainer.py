@@ -158,6 +158,8 @@ class Trainer:
         )
         self._aug_rng = jax.random.PRNGKey(config.train.seed + 1)
         self.dataset = dataset if dataset is not None else self._build_dataset()
+        if eval_dataset is None and config.data.eval_split:
+            eval_dataset = self._build_dataset(split=config.data.eval_split)
         self.eval_dataset = eval_dataset
         self.state = self._create_state()
         self._ckpt_mgr = self._make_ckpt_mgr()
@@ -169,22 +171,26 @@ class Trainer:
 
     # -- construction -------------------------------------------------------
 
-    def _build_dataset(self):
+    def _build_dataset(self, split=None):
         d = self.config.data
+        split = split if split is not None else d.split
         if d.dataset == "synthetic":
             from cerberusnet_tpu.data.synthetic import SyntheticPerceptionDataset
 
             return SyntheticPerceptionDataset(
-                length=d.synthetic_length, hw=tuple(d.hw), sparse=d.synthetic_sparse
+                length=d.synthetic_length,
+                hw=tuple(d.hw),
+                sparse=d.synthetic_sparse,
+                seed=1 if split == "val" else 0,
             )
         if d.dataset == "kitti":
             from cerberusnet_tpu.data.kitti import Kitti2015Dataset
 
-            return Kitti2015Dataset(d.root, d.split)
+            return Kitti2015Dataset(d.root, split)
         if d.dataset == "cityscapes":
             from cerberusnet_tpu.data.cityscapes import CityscapesDataset
 
-            return CityscapesDataset(d.root, d.split)
+            return CityscapesDataset(d.root, split)
         raise ValueError(f"unknown dataset {d.dataset!r}")
 
     def _example_batch(self):
