@@ -20,7 +20,6 @@ from __future__ import annotations
 import os
 from glob import glob
 
-import numpy as np
 
 from cerberusnet_tpu.data import encodings
 from cerberusnet_tpu.data import io as data_io

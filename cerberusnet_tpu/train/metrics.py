@@ -11,7 +11,6 @@ jax.lax.psum / a final cross-device reduction — they are linear in the data.
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -113,18 +112,18 @@ class MetricState:
 
     def update(self, outputs, batch, ignore_index: int = 255):
         new = self
-        if "seg_labels" in batch:
+        if "seg_labels" in batch and "seg_logits" in outputs:
             pred = jnp.argmax(outputs["seg_logits"], axis=-1)
             cm = confusion_matrix(
                 pred, batch["seg_labels"], self.confusion.shape[0], ignore_index
             )
             new = new.replace(confusion=new.confusion + cm)
-        if "flow_gt" in batch:
+        if "flow_gt" in batch and "flow" in outputs:
             s = flow_error_sums(
                 outputs["flow"], batch["flow_gt"], batch.get("flow_valid")
             )
             new = new.replace(flow_sums=new.flow_sums + jnp.stack(s))
-        if "disp_gt" in batch:
+        if "disp_gt" in batch and "disp" in outputs:
             s = disparity_error_sums(
                 outputs["disp"], batch["disp_gt"], batch.get("disp_valid")
             )
