@@ -1,5 +1,6 @@
 from cerberusnet_tpu.models.encoder import PyramidEncoder
 from cerberusnet_tpu.models.flow import FlowDecoder, FlowNet
+from cerberusnet_tpu.models.dcv_flow import DCVFlowDecoder, DCVFlowNet
 from cerberusnet_tpu.models.disparity import DisparityDecoder, StereoNet
 from cerberusnet_tpu.models.segmentation import SegmentationHead, SegNet
 from cerberusnet_tpu.models.cerberus import CerberusNet
@@ -8,6 +9,8 @@ __all__ = [
     "PyramidEncoder",
     "FlowDecoder",
     "FlowNet",
+    "DCVFlowDecoder",
+    "DCVFlowNet",
     "DisparityDecoder",
     "StereoNet",
     "SegmentationHead",

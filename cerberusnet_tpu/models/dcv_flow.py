@@ -1,0 +1,92 @@
+"""DCVFlowNet — dilated-cost-volume optical flow (warping-free variant).
+
+A second flow-model family alongside the PWC-Net-style FlowDecoder, built on
+the dilated cost volumes of DCVNet (PAPERS.md: 'DCVNet: Dilated Cost Volume
+Networks for Fast Optical Flow'; the warping-free theme also in WAFT): all
+cost volumes are computed ONCE at a single pyramid level with several
+dilation rates — covering a large displacement range without the sequential
+coarse-to-fine warp loop — and a decoder predicts flow directly from the
+stacked volumes. TPU-friendly properties: no per-level warping gathers, one
+shot of embarrassingly parallel correlation work that XLA fuses, and a
+shallower (lower-latency) graph than the sequential pyramid decoder.
+
+Displacement coverage at level l with max_disp d and dilations R:
+max(R)*d * 2^l pixels at full resolution (defaults: level 3, d=4,
+R=(1,2,4,8) -> 256 px at 1024x512).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from cerberusnet_tpu.models.common import (
+    ContextNetwork,
+    DenseEstimator,
+    leaky,
+    upsample2x,
+)
+from cerberusnet_tpu.models.encoder import PyramidEncoder
+from cerberusnet_tpu.ops.correlation import correlation2d
+
+
+class DCVFlowDecoder(nn.Module):
+    """Single-level dilated-cost-volume flow decoder."""
+
+    level: int = 3
+    max_disp: int = 4
+    dilations: Sequence[int] = (1, 2, 4, 8)
+    est_channels: Sequence[int] = (128, 96, 64, 32)
+    ctx_channels: Sequence[int] = (96, 64, 32)
+    corr_impl: str | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats1, feats2):
+        f1 = feats1[self.level - 1]
+        f2 = feats2[self.level - 1]
+        volumes = [
+            leaky(
+                correlation2d(
+                    f1, f2, max_disp=self.max_disp, impl=self.corr_impl, dilation=r
+                )
+            )
+            for r in self.dilations
+        ]
+        x = jnp.concatenate(volumes + [f1], axis=-1)
+        x = DenseEstimator(tuple(self.est_channels), dtype=self.dtype)(x)
+        flow = nn.Conv(2, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        flow = flow + ContextNetwork(2, tuple(self.ctx_channels), dtype=self.dtype)(x)
+        # full resolution: x2 per level with value scaling
+        full = flow
+        for _ in range(self.level):
+            full = 2.0 * upsample2x(full)
+        return {"flow": full, "flow_pyramid": {self.level: flow}}
+
+
+class DCVFlowNet(nn.Module):
+    """Encoder + dilated-cost-volume flow decoder (single-task)."""
+
+    encoder_channels: Sequence[int] = (16, 32, 64, 96, 128, 196)
+    level: int = 3
+    max_disp: int = 4
+    dilations: Sequence[int] = (1, 2, 4, 8)
+    est_channels: Sequence[int] = (128, 96, 64, 32)
+    ctx_channels: Sequence[int] = (96, 64, 32)
+    corr_impl: str | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, im1, im2):
+        enc = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)
+        return DCVFlowDecoder(
+            level=self.level,
+            max_disp=self.max_disp,
+            dilations=tuple(self.dilations),
+            est_channels=tuple(self.est_channels),
+            ctx_channels=tuple(self.ctx_channels),
+            corr_impl=self.corr_impl,
+            dtype=self.dtype,
+        )(enc(im1), enc(im2))

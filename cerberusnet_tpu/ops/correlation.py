@@ -50,14 +50,14 @@ def _use_pallas(impl):
 # ---------------------------------------------------------------------------
 
 
-def _correlation2d_pure(f1, f2, max_disp):
+def _correlation2d_pure(f1, f2, max_disp, dilation=1):
     b, h, w, c = f1.shape
-    d = max_disp
+    d = max_disp * dilation
     f1f = f1.astype(jnp.float32)
     f2p = jnp.pad(f2.astype(jnp.float32), ((0, 0), (d, d), (d, d), (0, 0)))
     maps = []
-    for dy in range(2 * d + 1):
-        for dx in range(2 * d + 1):
+    for dy in range(0, 2 * d + 1, dilation):
+        for dx in range(0, 2 * d + 1, dilation):
             shifted = jax.lax.dynamic_slice(f2p, (0, dy, dx, 0), (b, h, w, c))
             maps.append(jnp.sum(f1f * shifted, axis=-1))
     out = jnp.stack(maps, axis=-1) / jnp.float32(c)
@@ -83,19 +83,25 @@ def _correlation1d_pure(f1, f2, max_disp):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "impl"))
-def correlation2d(f1, f2, max_disp: int = 4, impl: str | None = None):
+@functools.partial(jax.jit, static_argnames=("max_disp", "impl", "dilation"))
+def correlation2d(f1, f2, max_disp: int = 4, impl: str | None = None,
+                  dilation: int = 1):
     """2-D correlation cost volume. (B,H,W,C)x2 -> (B,H,W,(2*max_disp+1)**2).
 
-    See module docstring for exact semantics (SURVEY.md §9.2).
+    ``dilation`` samples displacements at offsets dilation*o (o in
+    {-d..d}^2) — the dilated cost volumes of DCVNet (PAPERS.md) that trade
+    warping for a one-shot wide receptive field. See module docstring for
+    exact semantics (SURVEY.md §9.2).
     """
     if f1.shape != f2.shape:
         raise ValueError(f"f1/f2 shape mismatch: {f1.shape} vs {f2.shape}")
     if _use_pallas(impl):
+        if dilation != 1:
+            raise NotImplementedError("pallas correlation supports dilation=1")
         from cerberusnet_tpu.ops.pallas.correlation import correlation2d_pallas
 
         return correlation2d_pallas(f1, f2, max_disp)
-    return _correlation2d_pure(f1, f2, max_disp)
+    return _correlation2d_pure(f1, f2, max_disp, dilation)
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "impl"))

@@ -29,7 +29,13 @@ from flax.training import train_state
 
 from cerberusnet_tpu.data.augment import AugmentConfig, augment_batch
 from cerberusnet_tpu.data.loader import DataLoader, make_preprocess_fn
-from cerberusnet_tpu.models import CerberusNet, FlowNet, SegNet, StereoNet
+from cerberusnet_tpu.models import (
+    CerberusNet,
+    DCVFlowNet,
+    FlowNet,
+    SegNet,
+    StereoNet,
+)
 from cerberusnet_tpu.parallel import make_mesh, replicated_sharding, shard_batch
 from cerberusnet_tpu.train import losses as losses_lib
 from cerberusnet_tpu.train.config import ExperimentConfig, ModelConfig
@@ -65,6 +71,18 @@ def build_model(cfg: ModelConfig):
         example_keys = ("left", "right", "temporal")
     elif cfg.variant == "flow":
         model = FlowNet(
+            max_disp=cfg.flow_max_disp,
+            est_channels=tuple(cfg.est_channels),
+            ctx_channels=tuple(cfg.ctx_channels),
+            **common,
+        )
+
+        def forward(variables, batch):
+            return model.apply(variables, batch["left"], batch["temporal"])
+
+        example_keys = ("left", "temporal")
+    elif cfg.variant == "dcv_flow":
+        model = DCVFlowNet(
             max_disp=cfg.flow_max_disp,
             est_channels=tuple(cfg.est_channels),
             ctx_channels=tuple(cfg.ctx_channels),

@@ -93,3 +93,39 @@ class TestSingleTaskBaselines:
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[0], images[1])
         out = jax.jit(model.apply)(variables, images[0], images[1])
         assert out["disp"].shape == (1, H, W, 1)
+
+
+class TestDCVFlowNet:
+    def test_shapes_and_dilated_corr(self, images):
+        from cerberusnet_tpu.models import DCVFlowNet
+        from cerberusnet_tpu.ops.correlation import _correlation2d_pure, correlation2d
+        import numpy as np
+
+        # dilated corr golden: dilation r samples at r*o
+        rng = np.random.RandomState(0)
+        f1 = jnp.asarray(rng.randn(1, 8, 8, 3), jnp.float32)
+        f2 = jnp.asarray(rng.randn(1, 8, 8, 3), jnp.float32)
+        got = correlation2d(f1, f2, max_disp=1, impl="pure", dilation=2)
+        assert got.shape == (1, 8, 8, 9)
+        # channel (0,0) offset = (-2,-2): compare against shifting by hand
+        manual = np.zeros((8, 8), np.float32)
+        a, b = np.asarray(f1)[0], np.asarray(f2)[0]
+        for y in range(8):
+            for x in range(8):
+                yy, xx = y - 2, x - 2
+                if 0 <= yy < 8 and 0 <= xx < 8:
+                    manual[y, x] = a[y, x] @ b[yy, xx] / 3
+        np.testing.assert_allclose(np.asarray(got[0, :, :, 0]), manual, rtol=1e-5)
+
+        model = DCVFlowNet(
+            encoder_channels=TINY["encoder_channels"],
+            est_channels=(16, 12),
+            ctx_channels=(16,),
+            dilations=(1, 2),
+            corr_impl="pure",
+        )
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[0], images[1])
+        out = jax.jit(model.apply)(variables, images[0], images[1])
+        assert out["flow"].shape == (1, H, W, 2)
+        assert out["flow_pyramid"][3].shape == (1, H // 8, W // 8, 2)
+        assert bool(jnp.all(jnp.isfinite(out["flow"])))
