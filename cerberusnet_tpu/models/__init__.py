@@ -1,6 +1,11 @@
 from cerberusnet_tpu.models.encoder import PyramidEncoder
 from cerberusnet_tpu.models.flow import FlowDecoder, FlowNet
-from cerberusnet_tpu.models.dcv_flow import DCVFlowDecoder, DCVFlowNet
+from cerberusnet_tpu.models.dcv_flow import (
+    DCVFlowDecoder,
+    DCVFlowNet,
+    DCVStereoDecoder,
+    DCVStereoNet,
+)
 from cerberusnet_tpu.models.disparity import DisparityDecoder, StereoNet
 from cerberusnet_tpu.models.segmentation import SegmentationHead, SegNet
 from cerberusnet_tpu.models.cerberus import CerberusNet
@@ -11,6 +16,8 @@ __all__ = [
     "FlowNet",
     "DCVFlowDecoder",
     "DCVFlowNet",
+    "DCVStereoDecoder",
+    "DCVStereoNet",
     "DisparityDecoder",
     "StereoNet",
     "SegmentationHead",

@@ -90,3 +90,68 @@ class DCVFlowNet(nn.Module):
             corr_impl=self.corr_impl,
             dtype=self.dtype,
         )(enc(im1), enc(im2))
+
+
+class DCVStereoDecoder(nn.Module):
+    """1-D dilated-cost-volume disparity decoder (warping-free stereo).
+
+    The epipolar analogue of DCVFlowDecoder: one-sided horizontal cost
+    volumes at several dilations computed once at a single level, covering
+    max(dilations)*max_disp*2^level px of full-resolution disparity."""
+
+    level: int = 3
+    max_disp: int = 4
+    dilations: Sequence[int] = (1, 2, 3)
+    est_channels: Sequence[int] = (128, 96, 64, 32)
+    ctx_channels: Sequence[int] = (96, 64, 32)
+    corr_impl: str | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats_left, feats_right):
+        from cerberusnet_tpu.ops.correlation import correlation1d
+
+        f1 = feats_left[self.level - 1]
+        f2 = feats_right[self.level - 1]
+        volumes = [
+            leaky(
+                correlation1d(
+                    f1, f2, max_disp=self.max_disp, impl=self.corr_impl, dilation=r
+                )
+            )
+            for r in self.dilations
+        ]
+        x = jnp.concatenate(volumes + [f1], axis=-1)
+        x = DenseEstimator(tuple(self.est_channels), dtype=self.dtype)(x)
+        disp = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        disp = disp + ContextNetwork(1, tuple(self.ctx_channels), dtype=self.dtype)(x)
+        full = disp
+        for _ in range(self.level):
+            full = 2.0 * upsample2x(full)
+        return {"disp": full, "disp_pyramid": {self.level: disp}}
+
+
+class DCVStereoNet(nn.Module):
+    """Encoder + 1-D dilated-cost-volume disparity decoder (single-task)."""
+
+    encoder_channels: Sequence[int] = (16, 32, 64, 96, 128, 196)
+    level: int = 3
+    max_disp: int = 4
+    dilations: Sequence[int] = (1, 2, 3)
+    est_channels: Sequence[int] = (128, 96, 64, 32)
+    ctx_channels: Sequence[int] = (96, 64, 32)
+    corr_impl: str | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, left, right):
+        enc = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)
+        return DCVStereoDecoder(
+            level=self.level,
+            max_disp=self.max_disp,
+            dilations=tuple(self.dilations),
+            est_channels=tuple(self.est_channels),
+            ctx_channels=tuple(self.ctx_channels),
+            corr_impl=self.corr_impl,
+            dtype=self.dtype,
+        )(enc(left), enc(right))

@@ -64,14 +64,14 @@ def _correlation2d_pure(f1, f2, max_disp, dilation=1):
     return out.astype(f1.dtype)
 
 
-def _correlation1d_pure(f1, f2, max_disp):
+def _correlation1d_pure(f1, f2, max_disp, dilation=1):
     b, h, w, c = f1.shape
-    dmax = max_disp
+    dmax = max_disp * dilation
     f1f = f1.astype(jnp.float32)
-    # corr(x, k) = f1(x) . f2(x - k): pad f2 on the left by D.
+    # corr(x, k) = f1(x) . f2(x - k*dilation): pad f2 on the left by D.
     f2p = jnp.pad(f2.astype(jnp.float32), ((0, 0), (0, 0), (dmax, 0), (0, 0)))
     maps = []
-    for k in range(dmax + 1):
+    for k in range(0, dmax + 1, dilation):
         shifted = jax.lax.dynamic_slice(f2p, (0, 0, dmax - k, 0), (b, h, w, c))
         maps.append(jnp.sum(f1f * shifted, axis=-1))
     out = jnp.stack(maps, axis=-1) / jnp.float32(c)
@@ -104,17 +104,21 @@ def correlation2d(f1, f2, max_disp: int = 4, impl: str | None = None,
     return _correlation2d_pure(f1, f2, max_disp, dilation)
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "impl"))
-def correlation1d(f1, f2, max_disp: int = 24, impl: str | None = None):
+@functools.partial(jax.jit, static_argnames=("max_disp", "impl", "dilation"))
+def correlation1d(f1, f2, max_disp: int = 24, impl: str | None = None,
+                  dilation: int = 1):
     """1-D (epipolar) correlation. (B,H,W,C)x2 -> (B,H,W,max_disp+1).
 
     ``f1`` is the left-image features, ``f2`` the right-image features;
-    channel k correlates f1(x) with f2(x - k). See SURVEY.md §9.2b.
+    channel k correlates f1(x) with f2(x - k*dilation) (dilated variant for
+    the DCV stereo family). See SURVEY.md §9.2b.
     """
     if f1.shape != f2.shape:
         raise ValueError(f"f1/f2 shape mismatch: {f1.shape} vs {f2.shape}")
     if _use_pallas(impl):
+        if dilation != 1:
+            raise NotImplementedError("pallas correlation supports dilation=1")
         from cerberusnet_tpu.ops.pallas.correlation import correlation1d_pallas
 
         return correlation1d_pallas(f1, f2, max_disp)
-    return _correlation1d_pure(f1, f2, max_disp)
+    return _correlation1d_pure(f1, f2, max_disp, dilation)

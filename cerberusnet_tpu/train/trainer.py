@@ -32,6 +32,7 @@ from cerberusnet_tpu.data.loader import DataLoader, make_preprocess_fn
 from cerberusnet_tpu.models import (
     CerberusNet,
     DCVFlowNet,
+    DCVStereoNet,
     FlowNet,
     SegNet,
     StereoNet,
@@ -93,6 +94,17 @@ def build_model(cfg: ModelConfig):
             return model.apply(variables, batch["left"], batch["temporal"])
 
         example_keys = ("left", "temporal")
+    elif cfg.variant == "dcv_stereo":
+        model = DCVStereoNet(
+            est_channels=tuple(cfg.est_channels),
+            ctx_channels=tuple(cfg.ctx_channels),
+            **common,
+        )
+
+        def forward(variables, batch):
+            return model.apply(variables, batch["left"], batch["right"])
+
+        example_keys = ("left", "right")
     elif cfg.variant == "stereo":
         model = StereoNet(
             max_disp_full=cfg.max_disp_full,

@@ -129,3 +129,36 @@ class TestDCVFlowNet:
         assert out["flow"].shape == (1, H, W, 2)
         assert out["flow_pyramid"][3].shape == (1, H // 8, W // 8, 2)
         assert bool(jnp.all(jnp.isfinite(out["flow"])))
+
+
+class TestDCVStereoNet:
+    def test_shapes_and_dilated_corr1d(self, images):
+        from cerberusnet_tpu.models import DCVStereoNet
+        from cerberusnet_tpu.ops.correlation import correlation1d
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        f1 = jnp.asarray(rng.randn(1, 4, 10, 3), jnp.float32)
+        f2 = jnp.asarray(rng.randn(1, 4, 10, 3), jnp.float32)
+        got = correlation1d(f1, f2, max_disp=2, impl="pure", dilation=3)
+        assert got.shape == (1, 4, 10, 3)  # k in {0, 3, 6} -> 3 channels
+        a, b = np.asarray(f1)[0], np.asarray(f2)[0]
+        # channel 2 = displacement 6
+        manual = np.zeros((4, 10), np.float32)
+        for y in range(4):
+            for x in range(10):
+                if x - 6 >= 0:
+                    manual[y, x] = a[y, x] @ b[y, x - 6] / 3
+        np.testing.assert_allclose(np.asarray(got[0, :, :, 2]), manual, rtol=1e-5)
+
+        model = DCVStereoNet(
+            encoder_channels=TINY["encoder_channels"],
+            est_channels=(16, 12),
+            ctx_channels=(16,),
+            dilations=(1, 2),
+            corr_impl="pure",
+        )
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[0], images[1])
+        out = jax.jit(model.apply)(variables, images[0], images[1])
+        assert out["disp"].shape == (1, H, W, 1)
+        assert bool(jnp.all(jnp.isfinite(out["disp"])))
