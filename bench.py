@@ -92,6 +92,31 @@ def bench_head(kind, batch=2, hw=(512, 1024), iters=10, dtype=jnp.bfloat16):
     return batch / sec
 
 
+def bench_cerberus_dcv(batch=1, hw=(512, 1024), iters=10):
+    """TPU-first redesigned flagship: joint 3-head inference on the
+    warping-free dilated-cost-volume decoders (models/dcv_flow.py)."""
+    from cerberusnet_tpu.models import CerberusDCV
+
+    model = CerberusDCV(dtype=jnp.bfloat16)
+    h, w = hw
+    imgs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (batch, h, w, 3), jnp.bfloat16)
+        for i in range(3)
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
+
+    def forward(left, right, temporal):
+        return model.apply(variables, left, right, temporal)
+
+    def reduce_out(out):
+        return (
+            out["flow"].mean() + out["disp"].mean() + out["seg_logits"].mean()
+        ).astype(jnp.float32)
+
+    sec = _loop_time(forward, imgs, iters, reduce_out)
+    return batch / sec
+
+
 def bench_train_step(batch=2, hw=(512, 1024), iters=5):
     """[BASELINE:L11] config 5: end-to-end multi-task train step (joint loss,
     backward through the Pallas VJPs, optimizer update)."""
@@ -186,7 +211,9 @@ def main():
                                                 iters=args.iters)
         details["flow_bf16_fps"] = bench_head("flow", batch=args.batch,
                                               iters=args.iters)
-        details["train_step_bf16_fps"] = bench_train_step(batch=args.batch)
+        details["cerberus_dcv_bf16_fps"] = bench_cerberus_dcv(batch=args.batch,
+                                                              iters=args.iters)
+        details["train_step_bf16_fps"] = bench_train_step(batch=max(args.batch, 2))
         with open("BENCH_details.json", "w") as f:
             json.dump(details, f, indent=2)
 

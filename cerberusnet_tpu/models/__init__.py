@@ -5,6 +5,7 @@ from cerberusnet_tpu.models.dcv_flow import (
     DCVFlowNet,
     DCVStereoDecoder,
     DCVStereoNet,
+    CerberusDCV,
 )
 from cerberusnet_tpu.models.disparity import DisparityDecoder, StereoNet
 from cerberusnet_tpu.models.segmentation import SegmentationHead, SegNet
@@ -18,6 +19,7 @@ __all__ = [
     "DCVFlowNet",
     "DCVStereoDecoder",
     "DCVStereoNet",
+    "CerberusDCV",
     "DisparityDecoder",
     "StereoNet",
     "SegmentationHead",

@@ -155,3 +155,60 @@ class DCVStereoNet(nn.Module):
             corr_impl=self.corr_impl,
             dtype=self.dtype,
         )(enc(left), enc(right))
+
+
+class CerberusDCV(nn.Module):
+    """Joint three-head model on the warping-free DCV decoders: one shared
+    pyramid encoder + dilated-cost-volume flow and stereo heads + the FPN
+    segmentation head. Same I/O contract as CerberusNet; a much shallower
+    graph (no coarse-to-fine warp loops) for low-latency deployment."""
+
+    encoder_channels: Sequence[int] = (16, 32, 64, 96, 128, 196)
+    num_classes: int = 19
+    level: int = 3
+    flow_max_disp: int = 4
+    flow_dilations: Sequence[int] = (1, 2, 4, 8)
+    disp_max_disp: int = 4
+    disp_dilations: Sequence[int] = (1, 2, 3)
+    est_channels: Sequence[int] = (128, 96, 64, 32)
+    ctx_channels: Sequence[int] = (96, 64, 32)
+    fpn_channels: int = 96
+    corr_impl: str | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, left, right, temporal):
+        from cerberusnet_tpu.models.segmentation import SegmentationHead
+
+        enc = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)
+        f_left = enc(left)
+        f_right = enc(right)
+        f_temporal = enc(temporal)
+        disp_out = DCVStereoDecoder(
+            level=self.level,
+            max_disp=self.disp_max_disp,
+            dilations=tuple(self.disp_dilations),
+            est_channels=tuple(self.est_channels),
+            ctx_channels=tuple(self.ctx_channels),
+            corr_impl=self.corr_impl,
+            dtype=self.dtype,
+        )(f_left, f_right)
+        flow_out = DCVFlowDecoder(
+            level=self.level,
+            max_disp=self.flow_max_disp,
+            dilations=tuple(self.flow_dilations),
+            est_channels=tuple(self.est_channels),
+            ctx_channels=tuple(self.ctx_channels),
+            corr_impl=self.corr_impl,
+            dtype=self.dtype,
+        )(f_left, f_temporal)
+        seg_logits = SegmentationHead(
+            self.num_classes, fpn_channels=self.fpn_channels, dtype=self.dtype
+        )(f_left, left.shape[1:3])
+        return {
+            "seg_logits": seg_logits,
+            "flow": flow_out["flow"].astype(jnp.float32),
+            "disp": disp_out["disp"].astype(jnp.float32),
+            "flow_pyramid": flow_out["flow_pyramid"],
+            "disp_pyramid": disp_out["disp_pyramid"],
+        }

@@ -30,6 +30,7 @@ from flax.training import train_state
 from cerberusnet_tpu.data.augment import AugmentConfig, augment_batch
 from cerberusnet_tpu.data.loader import DataLoader, make_preprocess_fn
 from cerberusnet_tpu.models import (
+    CerberusDCV,
     CerberusNet,
     DCVFlowNet,
     DCVStereoNet,
@@ -53,7 +54,23 @@ def build_model(cfg: ModelConfig):
         corr_impl=cfg.corr_impl,
         dtype=cfg.jnp_dtype,
     )
-    if cfg.variant == "cerberus":
+    if cfg.variant == "cerberus_dcv":
+        model = CerberusDCV(
+            num_classes=cfg.num_classes,
+            flow_max_disp=cfg.flow_max_disp,
+            est_channels=tuple(cfg.est_channels),
+            ctx_channels=tuple(cfg.ctx_channels),
+            fpn_channels=cfg.fpn_channels,
+            **common,
+        )
+
+        def forward(variables, batch):
+            return model.apply(
+                variables, batch["left"], batch["right"], batch["temporal"]
+            )
+
+        example_keys = ("left", "right", "temporal")
+    elif cfg.variant == "cerberus":
         model = CerberusNet(
             num_classes=cfg.num_classes,
             max_disp_full=cfg.max_disp_full,

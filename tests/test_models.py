@@ -162,3 +162,25 @@ class TestDCVStereoNet:
         out = jax.jit(model.apply)(variables, images[0], images[1])
         assert out["disp"].shape == (1, H, W, 1)
         assert bool(jnp.all(jnp.isfinite(out["disp"])))
+
+
+class TestCerberusDCV:
+    def test_joint_shapes(self, images):
+        from cerberusnet_tpu.models import CerberusDCV
+
+        model = CerberusDCV(
+            encoder_channels=TINY["encoder_channels"],
+            est_channels=(16, 12),
+            ctx_channels=(16,),
+            flow_dilations=(1, 2),
+            disp_dilations=(1, 2),
+            fpn_channels=16,
+            corr_impl="pure",
+        )
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), *images)
+        out = jax.jit(model.apply)(variables, *images)
+        assert out["seg_logits"].shape == (1, H, W, 19)
+        assert out["flow"].shape == (1, H, W, 2)
+        assert out["disp"].shape == (1, H, W, 1)
+        for k in ("seg_logits", "flow", "disp"):
+            assert bool(jnp.all(jnp.isfinite(out[k]))), k
