@@ -204,16 +204,29 @@ def main():
     details["torch_cpu_fps"] = torch_fps
 
     if args.all:
-        details["seg_fp32_fps"] = bench_head(
-            "seg", batch=1, iters=args.iters, dtype=jnp.float32
-        )
-        details["stereo_bf16_fps"] = bench_head("stereo", batch=args.batch,
-                                                iters=args.iters)
-        details["flow_bf16_fps"] = bench_head("flow", batch=args.batch,
-                                              iters=args.iters)
-        details["cerberus_dcv_bf16_fps"] = bench_cerberus_dcv(batch=args.batch,
-                                                              iters=args.iters)
-        details["train_step_bf16_fps"] = bench_train_step(batch=max(args.batch, 2))
+        subbenches = {
+            "seg_fp32_fps": lambda: bench_head(
+                "seg", batch=1, iters=args.iters, dtype=jnp.float32
+            ),
+            "stereo_bf16_fps": lambda: bench_head(
+                "stereo", batch=args.batch, iters=args.iters
+            ),
+            "flow_bf16_fps": lambda: bench_head(
+                "flow", batch=args.batch, iters=args.iters
+            ),
+            "cerberus_dcv_bf16_fps": lambda: bench_cerberus_dcv(
+                batch=args.batch, iters=args.iters
+            ),
+            "train_step_bf16_fps": lambda: bench_train_step(
+                batch=max(args.batch, 2)
+            ),
+        }
+        for name, fn in subbenches.items():
+            try:
+                details[name] = fn()
+            except Exception as e:  # record, keep going, never lose the run
+                print(f"[bench] {name} failed: {e}", file=sys.stderr)
+                details[name] = None
         with open("BENCH_details.json", "w") as f:
             json.dump(details, f, indent=2)
 
