@@ -27,6 +27,10 @@ def main(argv=None):
     ap.add_argument(
         "--print-config", action="store_true", help="dump the parsed config and exit"
     )
+    ap.add_argument(
+        "--export-dir", default=None, metavar="DIR",
+        help="AOT-export the (restored) model to DIR and exit",
+    )
     args = ap.parse_args(argv)
 
     from cerberusnet_tpu.train.config import ExperimentConfig
@@ -44,6 +48,10 @@ def main(argv=None):
     if args.profile:
         out = trainer.profile(args.profile)
         print(f"trace written to {out}")
+        return 0
+    if args.export_dir:
+        out = trainer.export(args.export_dir)
+        print(f"exported AOT artifact to {out}")
         return 0
     if args.eval_only:
         print(json.dumps(trainer.evaluate(), indent=2))

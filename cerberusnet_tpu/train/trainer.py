@@ -456,6 +456,31 @@ class Trainer:
         data_io.write_image_u8(path, vis.summary_panel(panel_inputs))
         return path
 
+    def export(self, out_dir: str, batch: int = 1):
+        """AOT-export the current weights as a deployment artifact
+        (SURVEY.md §4.3): StableHLO + manifest + compile options, consumable
+        by jax.export and the C++ PJRT runner. Works for every variant."""
+        from cerberusnet_tpu.export.aot import export_inference, save_exported
+
+        h, w = self.config.data.hw
+        example = tuple(
+            jnp.zeros((batch, h, w, 3), self.config.model.jnp_dtype)
+            for _ in self.example_keys
+        )
+        params = dict(self.state.params)
+        params.pop("__task_uncertainty__", None)
+
+        def infer(*imgs):
+            batch_d = dict(zip(self.example_keys, imgs))
+            out = self.forward({"params": params}, batch_d)
+            # deployment surface: full-res outputs only, fixed order
+            return tuple(
+                out[k] for k in ("seg_logits", "flow", "disp") if k in out
+            )
+
+        exported = export_inference(infer, example)
+        return save_exported(exported, out_dir)
+
     def profile(self, log_dir: str, steps: int = 5):
         """Capture an XProf/Perfetto trace of a few train steps (§6.1)."""
         loader = DataLoader(

@@ -113,3 +113,20 @@ class TestUncertaintyWeighting:
             k: float(v) for k, v in t.state.params["__task_uncertainty__"].items()
         }
         assert any(abs(after[k] - before[k]) > 1e-6 for k in before)
+
+
+class TestTrainerExport:
+    def test_export_roundtrip(self, trainer, tmp_path):
+        import jax.numpy as jnp
+
+        from cerberusnet_tpu.export.aot import load_exported
+
+        out_dir = trainer.export(str(tmp_path / "artifact"))
+        back = load_exported(out_dir)
+        outs = back.call(
+            *[jnp.zeros((1, 64, 64, 3), jnp.float32) for _ in range(3)]
+        )
+        shapes = [tuple(o.shape) for o in outs]
+        assert (1, 64, 64, 19) in shapes
+        assert (1, 64, 64, 2) in shapes
+        assert (1, 64, 64, 1) in shapes
