@@ -31,6 +31,11 @@ def main(argv=None):
         "--export-dir", default=None, metavar="DIR",
         help="AOT-export the (restored) model to DIR and exit",
     )
+    ap.add_argument(
+        "--quant", default=None, choices=["int8"],
+        help="with --export-dir: calibration-based int8 PTQ of the exported "
+        "graph (the TensorRT-int8 analogue; convs run on the MXU s8 path)",
+    )
     args = ap.parse_args(argv)
 
     from cerberusnet_tpu.train.config import ExperimentConfig
@@ -50,7 +55,7 @@ def main(argv=None):
         print(f"trace written to {out}")
         return 0
     if args.export_dir:
-        out = trainer.export(args.export_dir)
+        out = trainer.export(args.export_dir, quant=args.quant)
         print(f"exported AOT artifact to {out}")
         return 0
     if args.eval_only:

@@ -61,6 +61,13 @@ class OptimConfig:
     total_steps: int = 10000
     grad_clip: float = 1.0
     poly_power: float = 0.9
+    # Gradient accumulation: optimizer applies the mean of every
+    # accum_steps micro-batch gradients (optax.MultiSteps) — large effective
+    # batches without the HBM of a large per-step batch.
+    accum_steps: int = 1
+    # Exponential moving average of params; 0.0 = off. When on, eval and
+    # export use the EMA weights (the deployment-quality weights).
+    ema_decay: float = 0.0
 
 
 @dataclasses.dataclass

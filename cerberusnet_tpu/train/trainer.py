@@ -19,7 +19,7 @@ from __future__ import annotations
 import csv
 import os
 import time
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -173,11 +173,17 @@ def build_optimizer(cfg):
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     if cfg.grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    if getattr(cfg, "accum_steps", 1) > 1:
+        # Gradient accumulation: optimizer state carries the running mean of
+        # micro-batch grads; params update once every accum_steps calls.
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
     return tx
 
 
 class TrainState(train_state.TrainState):
-    pass
+    # EMA of params (None when optim.ema_decay == 0). Saved/restored with
+    # the rest of the state by Orbax; eval/export prefer it when present.
+    ema_params: Any = None
 
 
 class Trainer:
@@ -266,8 +272,13 @@ class Trainer:
             params["__task_uncertainty__"] = {
                 t: jnp.zeros((), jnp.float32) for t in ("seg", "flow", "disp")
             }
+        ema = None
+        if self.config.optim.ema_decay > 0.0:
+            # real copies — aliasing params' buffers breaks the donated
+            # train step (same buffer donated twice)
+            ema = jax.tree.map(jnp.copy, params)
         state = TrainState.create(
-            apply_fn=self.model.apply, params=params, tx=self.tx
+            apply_fn=self.model.apply, params=params, tx=self.tx, ema_params=ema
         )
         # replicate over the mesh
         return jax.device_put(state, replicated_sharding(self.mesh))
@@ -323,6 +334,7 @@ class Trainer:
 
     def _make_train_step(self):
         remat = self.config.train.remat
+        ema_decay = self.config.optim.ema_decay
 
         def step(state, batch):
             loss_fn = self._loss_fn
@@ -332,13 +344,22 @@ class Trainer:
                 state.params, batch
             )
             new_state = state.apply_gradients(grads=grads)
+            if ema_decay > 0.0:
+                new_state = new_state.replace(
+                    ema_params=optax.incremental_update(
+                        new_state.params, state.ema_params, 1.0 - ema_decay
+                    )
+                )
             return new_state, comps
 
         return jax.jit(step, donate_argnums=(0,))
 
+    def _eval_params(self, state):
+        return state.ema_params if state.ema_params is not None else state.params
+
     def _make_eval_step(self):
         def step(state, metrics, batch):
-            outputs = self.forward({"params": state.params}, batch)
+            outputs = self.forward({"params": self._eval_params(state)}, batch)
             return metrics.update(outputs, batch)
 
         return jax.jit(step, donate_argnums=(1,))
@@ -456,10 +477,16 @@ class Trainer:
         data_io.write_image_u8(path, vis.summary_panel(panel_inputs))
         return path
 
-    def export(self, out_dir: str, batch: int = 1):
+    def export(self, out_dir: str, batch: int = 1, quant: Optional[str] = None,
+               calib_batches: int = 2, quant_skip: tuple = ()):
         """AOT-export the current weights as a deployment artifact
         (SURVEY.md §4.3): StableHLO + manifest + compile options, consumable
-        by jax.export and the C++ PJRT runner. Works for every variant."""
+        by jax.export and the C++ PJRT runner. Works for every variant.
+
+        quant='int8' mirrors the reference's TensorRT int8 engine build
+        (SURVEY.md §3 C16): calibrate activation ranges on ``calib_batches``
+        batches from the training dataset, quantize conv weights
+        per-output-channel, and bake the int8 graph into the artifact."""
         from cerberusnet_tpu.export.aot import export_inference, save_exported
 
         h, w = self.config.data.hw
@@ -467,12 +494,43 @@ class Trainer:
             jnp.zeros((batch, h, w, 3), self.config.model.jnp_dtype)
             for _ in self.example_keys
         )
-        params = dict(self.state.params)
+        # deploy the EMA weights when EMA is on (the eval-quality weights)
+        params = dict(self._eval_params(self.state))
         params.pop("__task_uncertainty__", None)
+        variables = {"params": params}
+
+        from contextlib import nullcontext
+
+        make_interception = nullcontext
+        if quant == "int8":
+            from cerberusnet_tpu.quant import (
+                calibrate,
+                quant_interception,
+                quantize,
+            )
+
+            loader = DataLoader(self.dataset, batch_size=batch, num_workers=1)
+            batches = []
+            for i, b in enumerate(loader):
+                if i >= calib_batches:
+                    break
+                prep = self.preprocess(b)
+                batches.append(
+                    tuple(
+                        prep[k].astype(self.config.model.jnp_dtype)
+                        for k in self.example_keys
+                    )
+                )
+            scales = calibrate(self.model, variables, batches)
+            variables = quantize(variables, scales, skip=quant_skip, strip=True)
+            make_interception = quant_interception
+        elif quant is not None:
+            raise ValueError(f"unknown quant mode {quant!r} (expected 'int8')")
 
         def infer(*imgs):
             batch_d = dict(zip(self.example_keys, imgs))
-            out = self.forward({"params": params}, batch_d)
+            with make_interception():
+                out = self.forward(variables, batch_d)
             # deployment surface: full-res outputs only, fixed order
             return tuple(
                 out[k] for k in ("seg_logits", "flow", "disp") if k in out

@@ -115,6 +115,52 @@ class TestUncertaintyWeighting:
         assert any(abs(after[k] - before[k]) > 1e-6 for k in before)
 
 
+class TestEMA:
+    def test_ema_follows_update_rule(self):
+        cfg = tiny_config(variant="seg")
+        cfg.optim.ema_decay = 0.9
+        t = Trainer(cfg)
+        ds = SyntheticPerceptionDataset(length=2, hw=(64, 64))
+        batch = next(iter(DataLoader(ds, batch_size=2, num_workers=1)))
+        p0 = jax.tree.map(np.asarray, t.state.params)
+        t.train_step(batch)
+        p1 = jax.tree.map(np.asarray, t.state.params)
+        ema1 = jax.tree.map(np.asarray, t.state.ema_params)
+        # ema_1 = 0.9 * p0 + 0.1 * p1 (ema initialized to p0)
+        leaf = lambda tree: jax.tree.leaves(tree)[0]
+        np.testing.assert_allclose(
+            leaf(ema1), 0.9 * leaf(p0) + 0.1 * leaf(p1), rtol=1e-5, atol=1e-7
+        )
+
+    def test_ema_off_by_default(self, trainer):
+        assert trainer.state.ema_params is None
+
+    def test_eval_uses_ema(self):
+        cfg = tiny_config(variant="seg")
+        cfg.optim.ema_decay = 0.5
+        t = Trainer(cfg)
+        out = t.evaluate()
+        assert np.isfinite(out["miou"])
+
+
+class TestGradAccumulation:
+    def test_params_update_every_k_steps(self):
+        cfg = tiny_config(variant="seg")
+        cfg.optim.accum_steps = 2
+        cfg.optim.grad_clip = 0.0
+        t = Trainer(cfg)
+        ds = SyntheticPerceptionDataset(length=2, hw=(64, 64))
+        batch = next(iter(DataLoader(ds, batch_size=2, num_workers=1)))
+        leaf = lambda: np.asarray(jax.tree.leaves(t.state.params)[0]).copy()
+        p0 = leaf()
+        t.train_step(batch)
+        p1 = leaf()  # micro-step 1: accumulate only, no param change
+        np.testing.assert_array_equal(p0, p1)
+        t.train_step(batch)
+        p2 = leaf()  # micro-step 2: optimizer applies the averaged grad
+        assert np.abs(p2 - p1).max() > 0
+
+
 class TestTrainerExport:
     def test_export_roundtrip(self, trainer, tmp_path):
         import jax.numpy as jnp
@@ -130,3 +176,22 @@ class TestTrainerExport:
         assert (1, 64, 64, 19) in shapes
         assert (1, 64, 64, 2) in shapes
         assert (1, 64, 64, 1) in shapes
+
+    def test_export_int8_roundtrip(self, trainer, tmp_path):
+        """quant='int8': calibrated PTQ artifact (the TRT-int8 analogue,
+        SURVEY.md §3 C16) loads and produces finite, close-to-f32 outputs."""
+        import jax.numpy as jnp
+
+        from cerberusnet_tpu.export.aot import load_exported
+
+        f32_dir = trainer.export(str(tmp_path / "f32"))
+        q_dir = trainer.export(str(tmp_path / "int8"), quant="int8")
+        imgs = [jnp.ones((1, 64, 64, 3), jnp.float32) * 0.25 for _ in range(3)]
+        ref = load_exported(f32_dir).call(*imgs)
+        out = load_exported(q_dir).call(*imgs)
+        for r, q in zip(ref, out):
+            q = np.asarray(q, np.float32)
+            r = np.asarray(r, np.float32)
+            assert np.isfinite(q).all()
+            rel = np.linalg.norm((q - r).ravel()) / (np.linalg.norm(r.ravel()) + 1e-9)
+            assert rel < 0.5, rel  # untrained weights: just sanity-bound it
