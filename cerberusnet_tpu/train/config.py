@@ -109,6 +109,9 @@ class TrainConfig:
     # interpreter mode (bounds-checked, CPU-exact) regardless of backend.
     debug_nans: bool = False
     interpret_kernels: bool = False
+    # TensorBoard event files (dependency-free writer, utils/tblogger.py)
+    # under <ckpt_dir>/tb: step losses, eval metrics, prediction panels.
+    tensorboard: bool = False
 
 
 @dataclasses.dataclass

@@ -405,9 +405,14 @@ class Trainer:
             seed=cfg.train.seed,
         )
         log_path = None
+        tb = None
         if cfg.train.ckpt_dir:
             os.makedirs(cfg.train.ckpt_dir, exist_ok=True)
             log_path = os.path.join(cfg.train.ckpt_dir, "train_log.csv")
+            if cfg.train.tensorboard:
+                from cerberusnet_tpu.utils.tblogger import TBLogger
+
+                tb = TBLogger(os.path.join(cfg.train.ckpt_dir, "tb"))
         for epoch in range(cfg.train.epochs):
             t_epoch = time.time()
             comps = {}
@@ -416,6 +421,8 @@ class Trainer:
                 if (i + 1) % cfg.train.log_every == 0:
                     vals = {k: float(v) for k, v in comps.items()}
                     print(f"[epoch {epoch} step {i + 1}] {vals}")
+                    if tb:
+                        tb.scalars(vals, int(self.state.step), prefix="loss/")
             row = {
                 "epoch": epoch,
                 "step": int(self.state.step),
@@ -433,6 +440,11 @@ class Trainer:
                             cfg.train.ckpt_dir, f"predictions_epoch{epoch}.png"
                         )
                     )
+                if tb:
+                    tb.image("eval/panel", self.render_panel(), int(self.state.step))
+            if tb:
+                tb.scalars(row, int(self.state.step))
+                tb.flush()
             self.history.append(row)
             print(f"[epoch {epoch}] {row}")
             if log_path:
@@ -456,17 +468,14 @@ class Trainer:
         )
         self._ckpt_mgr.wait_until_finished()
 
-    def dump_visualization(self, path: str):
-        """Render predictions on one sample into a panel image (SURVEY.md §3
-        C18: the reference's tensorboard image panels -> PNG dumps)."""
-        import numpy as np
-
-        from cerberusnet_tpu.data import io as data_io
+    def render_panel(self) -> "np.ndarray":
+        """Predictions on one sample as a (H, W, 3) uint8 panel (SURVEY.md §3
+        C18 — the reference's tensorboard image panels)."""
         from cerberusnet_tpu.utils import visualization as vis
 
         batch = next(iter(DataLoader(self.dataset, batch_size=1, num_workers=1)))
         prep = self.preprocess(batch)
-        out = jax.jit(self.forward)({"params": self.state.params}, prep)
+        out = jax.jit(self.forward)({"params": self._eval_params(self.state)}, prep)
         panel_inputs = {"image": np.asarray(batch["left"][0])}
         if "seg_logits" in out:
             panel_inputs["seg"] = np.asarray(out["seg_logits"][0].argmax(-1))
@@ -474,7 +483,13 @@ class Trainer:
             panel_inputs["flow"] = np.asarray(out["flow"][0])
         if "disp" in out:
             panel_inputs["disp"] = np.asarray(out["disp"][0, ..., 0])
-        data_io.write_image_u8(path, vis.summary_panel(panel_inputs))
+        return vis.summary_panel(panel_inputs)
+
+    def dump_visualization(self, path: str):
+        """Render predictions on one sample into a panel PNG (C18)."""
+        from cerberusnet_tpu.data import io as data_io
+
+        data_io.write_image_u8(path, self.render_panel())
         return path
 
     def export(self, out_dir: str, batch: int = 1, quant: Optional[str] = None,
