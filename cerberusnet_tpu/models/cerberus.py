@@ -39,6 +39,7 @@ class CerberusNet(nn.Module):
     ctx_channels: Sequence[int] = (128, 128, 128, 96, 64, 32)
     fpn_channels: int = 96
     corr_impl: str | None = None
+    fused: bool = True  # fused estimator+prediction convs (identical math)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -62,6 +63,7 @@ class CerberusNet(nn.Module):
             est_channels=tuple(self.est_channels),
             ctx_channels=tuple(self.ctx_channels),
             corr_impl=self.corr_impl,
+            fused=self.fused,
             dtype=self.dtype,
         )(f_left, f_right)
         flow_out = FlowDecoder(
@@ -69,6 +71,7 @@ class CerberusNet(nn.Module):
             est_channels=tuple(self.est_channels),
             ctx_channels=tuple(self.ctx_channels),
             corr_impl=self.corr_impl,
+            fused=self.fused,
             dtype=self.dtype,
         )(f_left, f_temporal)
         seg_logits = SegmentationHead(

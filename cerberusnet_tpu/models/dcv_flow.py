@@ -25,11 +25,34 @@ import flax.linen as nn
 from cerberusnet_tpu.models.common import (
     ContextNetwork,
     DenseEstimator,
+    FusedDenseEstimator,
+    _ConvMirror,
     leaky,
     upsample2x,
 )
+
+
 from cerberusnet_tpu.models.encoder import PyramidEncoder
 from cerberusnet_tpu.ops.correlation import correlation2d
+
+
+def _estimate(x0, est_channels, out_ch, fused, dtype):
+    """DenseNet trunk + narrow prediction conv, fused or naive (identical
+    math and param tree; explicit names keep the trees aligned)."""
+    if fused:
+        pred_kb = _ConvMirror(out_ch, x0.shape[-1] + sum(est_channels),
+                              name="Conv_0")()
+        x, (pred,) = FusedDenseEstimator(
+            tuple(est_channels), dtype=dtype, name="DenseEstimator_0"
+        )(x0, (pred_kb,))
+    else:
+        x = DenseEstimator(
+            tuple(est_channels), dtype=dtype, name="DenseEstimator_0"
+        )(x0)
+        pred = nn.Conv(
+            out_ch, (3, 3), padding="SAME", dtype=dtype, name="Conv_0"
+        )(x)
+    return x, pred
 
 
 class DCVFlowDecoder(nn.Module):
@@ -41,6 +64,7 @@ class DCVFlowDecoder(nn.Module):
     est_channels: Sequence[int] = (128, 96, 64, 32)
     ctx_channels: Sequence[int] = (96, 64, 32)
     corr_impl: str | None = None
+    fused: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -55,9 +79,8 @@ class DCVFlowDecoder(nn.Module):
             )
             for r in self.dilations
         ]
-        x = jnp.concatenate(volumes + [f1], axis=-1)
-        x = DenseEstimator(tuple(self.est_channels), dtype=self.dtype)(x)
-        flow = nn.Conv(2, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x0 = jnp.concatenate(volumes + [f1], axis=-1)
+        x, flow = _estimate(x0, self.est_channels, 2, self.fused, self.dtype)
         flow = flow + ContextNetwork(2, tuple(self.ctx_channels), dtype=self.dtype)(x)
         # full resolution: x2 per level with value scaling
         full = flow
@@ -76,6 +99,7 @@ class DCVFlowNet(nn.Module):
     est_channels: Sequence[int] = (128, 96, 64, 32)
     ctx_channels: Sequence[int] = (96, 64, 32)
     corr_impl: str | None = None
+    fused: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -88,6 +112,7 @@ class DCVFlowNet(nn.Module):
             est_channels=tuple(self.est_channels),
             ctx_channels=tuple(self.ctx_channels),
             corr_impl=self.corr_impl,
+            fused=self.fused,
             dtype=self.dtype,
         )(enc(im1), enc(im2))
 
@@ -105,6 +130,7 @@ class DCVStereoDecoder(nn.Module):
     est_channels: Sequence[int] = (128, 96, 64, 32)
     ctx_channels: Sequence[int] = (96, 64, 32)
     corr_impl: str | None = None
+    fused: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -121,9 +147,8 @@ class DCVStereoDecoder(nn.Module):
             )
             for r in self.dilations
         ]
-        x = jnp.concatenate(volumes + [f1], axis=-1)
-        x = DenseEstimator(tuple(self.est_channels), dtype=self.dtype)(x)
-        disp = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x0 = jnp.concatenate(volumes + [f1], axis=-1)
+        x, disp = _estimate(x0, self.est_channels, 1, self.fused, self.dtype)
         disp = disp + ContextNetwork(1, tuple(self.ctx_channels), dtype=self.dtype)(x)
         full = disp
         for _ in range(self.level):
@@ -141,6 +166,7 @@ class DCVStereoNet(nn.Module):
     est_channels: Sequence[int] = (128, 96, 64, 32)
     ctx_channels: Sequence[int] = (96, 64, 32)
     corr_impl: str | None = None
+    fused: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -153,6 +179,7 @@ class DCVStereoNet(nn.Module):
             est_channels=tuple(self.est_channels),
             ctx_channels=tuple(self.ctx_channels),
             corr_impl=self.corr_impl,
+            fused=self.fused,
             dtype=self.dtype,
         )(enc(left), enc(right))
 
@@ -174,6 +201,7 @@ class CerberusDCV(nn.Module):
     ctx_channels: Sequence[int] = (96, 64, 32)
     fpn_channels: int = 96
     corr_impl: str | None = None
+    fused: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -191,6 +219,7 @@ class CerberusDCV(nn.Module):
             est_channels=tuple(self.est_channels),
             ctx_channels=tuple(self.ctx_channels),
             corr_impl=self.corr_impl,
+            fused=self.fused,
             dtype=self.dtype,
         )(f_left, f_right)
         flow_out = DCVFlowDecoder(
@@ -200,6 +229,7 @@ class CerberusDCV(nn.Module):
             est_channels=tuple(self.est_channels),
             ctx_channels=tuple(self.ctx_channels),
             corr_impl=self.corr_impl,
+            fused=self.fused,
             dtype=self.dtype,
         )(f_left, f_temporal)
         seg_logits = SegmentationHead(

@@ -23,6 +23,8 @@ import flax.linen as nn
 from cerberusnet_tpu.models.common import (
     ContextNetwork,
     DenseEstimator,
+    FusedDenseEstimator,
+    _ConvMirror,
     leaky,
     upsample2x,
 )
@@ -40,6 +42,7 @@ class DisparityDecoder(nn.Module):
     ctx_channels: Sequence[int] = (128, 128, 128, 96, 64, 32)
     up_feat_channels: int = 2
     corr_impl: str | None = None
+    fused: bool = True  # fused estimator+prediction (identical math/params)
     dtype: jnp.dtype = jnp.float32
 
     def level_max_disp(self, level: int) -> int:
@@ -50,7 +53,7 @@ class DisparityDecoder(nn.Module):
         disp_pyramid = {}
         disp = None
         up_feat = None
-        for l in self.levels:
+        for i, l in enumerate(self.levels):
             f1, f2 = feats_left[l - 1], feats_right[l - 1]
             if disp is None:
                 up_disp = jnp.zeros(f1.shape[:3] + (1,), f1.dtype)
@@ -65,9 +68,26 @@ class DisparityDecoder(nn.Module):
                     f1, f2w, max_disp=self.level_max_disp(l), impl=self.corr_impl
                 )
             )
-            x = jnp.concatenate([cost, f1] + inputs, axis=-1)
-            x = DenseEstimator(tuple(self.est_channels), dtype=self.dtype)(x)
-            disp = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype)(x)
+            x0 = jnp.concatenate([cost, f1] + inputs, axis=-1)
+            # explicit child names keep fused/unfused param trees identical
+            if self.fused:
+                pred_kb = _ConvMirror(
+                    1, x0.shape[-1] + sum(self.est_channels), name=f"Conv_{i}"
+                )()
+                x, (disp,) = FusedDenseEstimator(
+                    tuple(self.est_channels),
+                    dtype=self.dtype,
+                    name=f"DenseEstimator_{i}",
+                )(x0, (pred_kb,))
+            else:
+                x = DenseEstimator(
+                    tuple(self.est_channels),
+                    dtype=self.dtype,
+                    name=f"DenseEstimator_{i}",
+                )(x0)
+                disp = nn.Conv(
+                    1, (3, 3), padding="SAME", dtype=self.dtype, name=f"Conv_{i}"
+                )(x)
             if inputs:
                 disp = disp + up_disp
             if l == self.levels[-1]:
@@ -97,6 +117,7 @@ class StereoNet(nn.Module):
     est_channels: Sequence[int] = (128, 128, 96, 64, 32)
     ctx_channels: Sequence[int] = (128, 128, 128, 96, 64, 32)
     corr_impl: str | None = None
+    fused: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -107,5 +128,6 @@ class StereoNet(nn.Module):
             est_channels=tuple(self.est_channels),
             ctx_channels=tuple(self.ctx_channels),
             corr_impl=self.corr_impl,
+            fused=self.fused,
             dtype=self.dtype,
         )(enc(left), enc(right))

@@ -26,9 +26,10 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from cerberusnet_tpu.models.common import (
-    ConvBlock,
     ContextNetwork,
     DenseEstimator,
+    FusedDenseEstimator,
+    _ConvMirror,
     leaky,
     upsample2x,
 )
@@ -46,6 +47,7 @@ class FlowDecoder(nn.Module):
     ctx_channels: Sequence[int] = (128, 128, 128, 96, 64, 32)
     up_feat_channels: int = 2
     corr_impl: str | None = None
+    fused: bool = True  # fused estimator+prediction (identical math/params)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -53,7 +55,7 @@ class FlowDecoder(nn.Module):
         flow_pyramid = {}
         flow = None
         up_feat = None
-        for l in self.levels:
+        for i, l in enumerate(self.levels):
             f1, f2 = feats1[l - 1], feats2[l - 1]
             if flow is None:
                 up_flow = jnp.zeros(f1.shape[:3] + (2,), f1.dtype)
@@ -66,9 +68,26 @@ class FlowDecoder(nn.Module):
             cost = leaky(
                 correlation2d(f1, f2w, max_disp=self.max_disp, impl=self.corr_impl)
             )
-            x = jnp.concatenate([cost, f1] + inputs, axis=-1)
-            x = DenseEstimator(tuple(self.est_channels), dtype=self.dtype)(x)
-            flow = nn.Conv(2, (3, 3), padding="SAME", dtype=self.dtype)(x)
+            x0 = jnp.concatenate([cost, f1] + inputs, axis=-1)
+            # explicit child names keep fused/unfused param trees identical
+            if self.fused:
+                pred_kb = _ConvMirror(
+                    2, x0.shape[-1] + sum(self.est_channels), name=f"Conv_{i}"
+                )()
+                x, (flow,) = FusedDenseEstimator(
+                    tuple(self.est_channels),
+                    dtype=self.dtype,
+                    name=f"DenseEstimator_{i}",
+                )(x0, (pred_kb,))
+            else:
+                x = DenseEstimator(
+                    tuple(self.est_channels),
+                    dtype=self.dtype,
+                    name=f"DenseEstimator_{i}",
+                )(x0)
+                flow = nn.Conv(
+                    2, (3, 3), padding="SAME", dtype=self.dtype, name=f"Conv_{i}"
+                )(x)
             if inputs:
                 flow = flow + up_flow  # predict residual on top of upsampled flow
             if l == self.levels[-1]:
@@ -100,6 +119,7 @@ class FlowNet(nn.Module):
     est_channels: Sequence[int] = (128, 128, 96, 64, 32)
     ctx_channels: Sequence[int] = (128, 128, 128, 96, 64, 32)
     corr_impl: str | None = None
+    fused: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -110,5 +130,6 @@ class FlowNet(nn.Module):
             est_channels=tuple(self.est_channels),
             ctx_channels=tuple(self.ctx_channels),
             corr_impl=self.corr_impl,
+            fused=self.fused,
             dtype=self.dtype,
         )(enc(im1), enc(im2))

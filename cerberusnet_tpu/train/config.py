@@ -25,6 +25,9 @@ class ModelConfig:
     ctx_channels: Tuple[int, ...] = (128, 128, 128, 96, 64, 32)
     fpn_channels: int = 96
     corr_impl: Optional[str] = None  # None=auto | pure | pallas
+    # Fused DenseNet-estimator + prediction convs (identical math and param
+    # tree; each stack component convolved once — measured 1.6x on v5e).
+    fused: bool = True
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
 
     @property

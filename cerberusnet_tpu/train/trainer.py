@@ -54,6 +54,8 @@ def build_model(cfg: ModelConfig):
         corr_impl=cfg.corr_impl,
         dtype=cfg.jnp_dtype,
     )
+    if cfg.variant != "seg":  # seg has no estimator convs
+        common["fused"] = cfg.fused
     if cfg.variant == "cerberus_dcv":
         model = CerberusDCV(
             num_classes=cfg.num_classes,
