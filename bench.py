@@ -205,8 +205,10 @@ def main():
 
     if args.all:
         subbenches = {
+            # seg is fast enough that 10 iters sit at the dispatch+fetch
+            # floor (subtraction then yields garbage); use many more.
             "seg_fp32_fps": lambda: bench_head(
-                "seg", batch=1, iters=args.iters, dtype=jnp.float32
+                "seg", batch=1, iters=max(args.iters * 10, 100), dtype=jnp.float32
             ),
             "stereo_bf16_fps": lambda: bench_head(
                 "stereo", batch=args.batch, iters=args.iters

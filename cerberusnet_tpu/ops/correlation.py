@@ -15,19 +15,30 @@ float32 regardless of input dtype; output dtype matches input dtype.
 
 Layout is NHWC (TPU-native: channels in the minor/lane dimension).
 
-Two implementations share these exact semantics:
+Three implementations share these exact semantics:
   * ``impl='pure'``  — jnp shifted multiply-reduce, fully fused by XLA.
-  * ``impl='pallas'``— hand-written Pallas TPU kernels (fwd + two bwd
+  * ``impl='pallas'``— v1 Pallas TPU kernels in NHWC layout (fwd + two bwd
     kernels via jax.custom_vjp) in cerberusnet_tpu.ops.pallas.correlation.
+  * ``impl='pallas_wl'`` — v2 Pallas forward in W-in-lanes layout
+    ((B,H,C,W) operands, full-tile per-channel stores), backward = autodiff
+    of the pure oracle. Measured v5e level-2 bf16 forward: 0.041 ms vs
+    0.401 ms pure (9.7x) for 2-D.
 
-``impl=None`` ('auto') picks PURE: measured on v5e (honest fetch-based
-timing, tools/kernel_bench.py), XLA's fusion of the static-shift formulation
-beats the hand-written kernels ~2-3x on both forward (460 vs 1100 us at the
-level-2 shape, bf16) and backward (740 vs 1570 us) — the correlation window
-is static, so XLA sees plain pad/slice/multiply/reduce chains it schedules
-extremely well. The Pallas kernels remain available (and unit-tested against
-the same golden semantics) for explicit opt-in and as the basis for future
-fusion work (e.g. folding the LeakyReLU + concat into the cost-volume pass).
+``impl=None`` ('auto') picks PURE — a decision made twice on real v5e
+end-to-end measurements, worth recording:
+  * v1 NHWC Pallas kernels lost to pure XLA ~2-3x standalone (460 vs
+    1100 us level-2 forward): C=32 fills only a quarter of the 128 VPU
+    lanes and each output channel was a strided single-lane store.
+  * v2 ``pallas_wl`` FIXES that (W fills the lanes, full-tile stores):
+    0.041 ms vs 0.401 ms standalone at the level-2 shape — 9.7x. But in
+    the FULL jitted model it is a wash (interleaved A/B, 3 rounds: pure
+    9.5-10.0 ms joint, wl 9.9-10.3 ms): XLA fuses the pure formulation's
+    pad/slice/multiply/reduce chain into the surrounding leaky/concat/conv
+    consumers, so its standalone cost never materializes — while the
+    custom call forces layout transposes and fusion barriers at both
+    edges. Standalone kernel wins do not compose past fusion boundaries;
+    measure end-to-end before switching a dispatch.
+Both kernel generations stay unit-tested and opt-in.
 """
 
 from __future__ import annotations
@@ -37,12 +48,16 @@ import functools
 import jax
 import jax.numpy as jnp
 
-def _use_pallas(impl):
-    if impl in (None, "auto", "pure"):
-        return False  # auto == pure (see module docstring)
-    if impl == "pallas":
-        return True
-    raise ValueError(f"unknown impl {impl!r}")
+_IMPLS = (None, "auto", "pure", "pallas", "pallas_wl")
+
+
+def _resolve_impl(impl, op):
+    """op in {'2d', '1d'} -> one of 'pure' | 'pallas' | 'pallas_wl'."""
+    if impl not in _IMPLS:
+        raise ValueError(f"unknown impl {impl!r}")
+    if impl in (None, "auto"):
+        return "pure"  # end-to-end winner; see module docstring
+    return impl
 
 
 # ---------------------------------------------------------------------------
@@ -95,7 +110,12 @@ def correlation2d(f1, f2, max_disp: int = 4, impl: str | None = None,
     """
     if f1.shape != f2.shape:
         raise ValueError(f"f1/f2 shape mismatch: {f1.shape} vs {f2.shape}")
-    if _use_pallas(impl):
+    chosen = _resolve_impl(impl, "2d")
+    if chosen == "pallas_wl":
+        from cerberusnet_tpu.ops.pallas.correlation import correlation2d_wl
+
+        return correlation2d_wl(f1, f2, max_disp, None, dilation)
+    if chosen == "pallas":
         if dilation != 1:
             raise NotImplementedError("pallas correlation supports dilation=1")
         from cerberusnet_tpu.ops.pallas.correlation import correlation2d_pallas
@@ -115,7 +135,12 @@ def correlation1d(f1, f2, max_disp: int = 24, impl: str | None = None,
     """
     if f1.shape != f2.shape:
         raise ValueError(f"f1/f2 shape mismatch: {f1.shape} vs {f2.shape}")
-    if _use_pallas(impl):
+    chosen = _resolve_impl(impl, "1d")
+    if chosen == "pallas_wl":
+        from cerberusnet_tpu.ops.pallas.correlation import correlation1d_wl
+
+        return correlation1d_wl(f1, f2, max_disp, None, dilation)
+    if chosen == "pallas":
         if dilation != 1:
             raise NotImplementedError("pallas correlation supports dilation=1")
         from cerberusnet_tpu.ops.pallas.correlation import correlation1d_pallas

@@ -169,3 +169,65 @@ class TestCorrelation1D:
             lambda a, b: correlation1d_pallas(a, b, 4),
             (f1, f2), order=1, modes=["rev"], atol=1e-2, rtol=1e-2,
         )
+
+
+class TestCorrelationWL:
+    """v2 W-in-lanes Pallas kernels (ops/pallas/correlation.py): forward vs
+    the pure oracle (interpret mode on CPU), dilation support, and the
+    custom-vjp backward (== pure autodiff)."""
+
+    def test_2d_matches_pure(self, rng):
+        from cerberusnet_tpu.ops.pallas.correlation import correlation2d_wl
+
+        f1 = jnp.asarray(rng.randn(2, 13, 27, 9), jnp.float32)
+        f2 = jnp.asarray(rng.randn(2, 13, 27, 9), jnp.float32)
+        ref = correlation2d(f1, f2, max_disp=4, impl="pure")
+        out = correlation2d_wl(f1, f2, 4, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_2d_dilated_matches_pure(self, rng):
+        from cerberusnet_tpu.ops.pallas.correlation import correlation2d_wl
+
+        f1 = jnp.asarray(rng.randn(1, 40, 52, 7), jnp.float32)
+        f2 = jnp.asarray(rng.randn(1, 40, 52, 7), jnp.float32)
+        for dil in (2, 4):
+            ref = correlation2d(f1, f2, max_disp=3, impl="pure", dilation=dil)
+            out = correlation2d_wl(f1, f2, 3, True, dil)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_1d_matches_pure(self, rng):
+        from cerberusnet_tpu.ops.pallas.correlation import correlation1d_wl
+
+        f1 = jnp.asarray(rng.randn(2, 11, 33, 6), jnp.float32)
+        f2 = jnp.asarray(rng.randn(2, 11, 33, 6), jnp.float32)
+        ref = correlation1d(f1, f2, max_disp=6, impl="pure")
+        out = correlation1d_wl(f1, f2, 6, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_2d_grads_match_pure(self, rng):
+        from cerberusnet_tpu.ops.pallas.correlation import correlation2d_wl
+
+        f1 = jnp.asarray(rng.randn(1, 9, 14, 5), jnp.float32)
+        f2 = jnp.asarray(rng.randn(1, 9, 14, 5), jnp.float32)
+        g_wl = jax.grad(
+            lambda a, b: (correlation2d_wl(a, b, 2, True) ** 2).sum(),
+            argnums=(0, 1),
+        )(f1, f2)
+        g_pure = jax.grad(
+            lambda a, b: (correlation2d(a, b, 2, impl="pure") ** 2).sum(),
+            argnums=(0, 1),
+        )(f1, f2)
+        for a, b in zip(g_wl, g_pure):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_dispatch_accepts_wl(self, rng):
+        f1 = jnp.asarray(rng.randn(1, 8, 16, 4), jnp.float32)
+        f2 = jnp.asarray(rng.randn(1, 8, 16, 4), jnp.float32)
+        ref = correlation2d(f1, f2, max_disp=2, impl="pure")
+        out = correlation2d(f1, f2, max_disp=2, impl="pallas_wl")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
