@@ -36,14 +36,20 @@ def confusion_matrix(pred, labels, num_classes: int, ignore_index: int = 255):
     return counts.reshape(num_classes, num_classes)
 
 
-def miou_from_confusion(cm):
-    """Mean IoU over classes present in GT or prediction."""
+def iou_per_class(cm):
+    """(C,C) confusion -> ((C,) IoU, (C,) present mask). IoU is 0 for
+    classes absent from both GT and prediction (mask them with `present`)."""
     tp = jnp.diag(cm)
     fp = jnp.sum(cm, axis=0) - tp
     fn = jnp.sum(cm, axis=1) - tp
     denom = tp + fp + fn
     iou = jnp.where(denom > 0, tp / jnp.maximum(denom, 1.0), 0.0)
-    present = denom > 0
+    return iou, denom > 0
+
+
+def miou_from_confusion(cm):
+    """Mean IoU over classes present in GT or prediction."""
+    iou, present = iou_per_class(cm)
     n = jnp.maximum(jnp.sum(present), 1)
     return jnp.sum(jnp.where(present, iou, 0.0)) / n
 
@@ -137,16 +143,30 @@ class MetricState:
             disp_sums=self.disp_sums + other.disp_sums,
         )
 
-    def compute(self):
-        """Final scalar metrics as a plain dict of python floats."""
+    def compute(self, per_class: bool = False, class_names=None):
+        """Final scalar metrics as a plain dict of python floats.
+
+        per_class=True appends per-class IoUs as ``iou/<name>`` (Cityscapes
+        trainId names by default — the standard per-class val report)."""
         fs = self.flow_sums
         ds = self.disp_sums
         fcount = max(float(fs[2]), 1.0)
         dcount = max(float(ds[2]), 1.0)
-        return {
+        out = {
             "miou": float(miou_from_confusion(self.confusion)),
             "flow_epe": float(fs[0]) / fcount,
             "flow_fl_all": float(fs[1]) / fcount,
             "disp_mae": float(ds[0]) / dcount,
             "disp_d1_all": float(ds[1]) / dcount,
         }
+        if per_class:
+            iou, present = iou_per_class(self.confusion)
+            iou, present = jax.device_get((iou, present))
+            if class_names is None:
+                from cerberusnet_tpu.data.encodings import CITYSCAPES_CLASS_NAMES
+
+                class_names = CITYSCAPES_CLASS_NAMES
+            for i in range(len(iou)):
+                name = class_names[i] if i < len(class_names) else str(i)
+                out[f"iou/{name}"] = float(iou[i]) if present[i] else float("nan")
+        return out

@@ -397,6 +397,45 @@ class Trainer:
             metrics = self._eval_step(self.state, metrics, batch)
         return metrics.compute()
 
+    def evaluate_tta(
+        self,
+        scales=(0.75, 1.0, 1.25),
+        flip: bool = True,
+        loader: Optional[DataLoader] = None,
+        per_class: bool = False,
+    ):
+        """Multi-scale + mirror test-time-augmentation evaluation
+        (cerberusnet_tpu/eval/tta.py) — the standard val-time trick for
+        reported Cityscapes/KITTI numbers. per_class adds per-class IoUs."""
+        from cerberusnet_tpu.eval import tta_forward
+
+        ds = self.eval_dataset or self.dataset
+        loader = loader or DataLoader(
+            ds,
+            batch_size=self.config.data.batch_size,
+            num_workers=self.config.data.num_workers,
+        )
+        keys = self.example_keys
+        scales = tuple(scales)
+
+        @jax.jit
+        def step(state, metrics, batch):
+            inputs = {k: batch[k] for k in keys}
+            out = tta_forward(
+                self.forward,
+                {"params": self._eval_params(state)},
+                inputs,
+                scales=scales,
+                flip=flip,
+            )
+            return metrics.update(out, batch)
+
+        metrics = MetricState.zeros(self.config.model.num_classes)
+        for batch in loader:
+            batch = self.preprocess(shard_batch(batch, self.mesh))
+            metrics = step(self.state, metrics, batch)
+        return metrics.compute(per_class=per_class)
+
     def fit(self):
         cfg = self.config
         loader = DataLoader(

@@ -1,0 +1,132 @@
+"""TTA evaluation tests (cerberusnet_tpu/eval/tta.py): inverse-transform
+math pinned with stub models, plus the Trainer.evaluate_tta path and
+per-class IoU reporting."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cerberusnet_tpu.eval import tta_forward
+
+
+def _batch(h=16, w=24):
+    rng = np.random.RandomState(0)
+    return {
+        "left": jnp.asarray(rng.rand(1, h, w, 3), jnp.float32),
+        "right": jnp.asarray(rng.rand(1, h, w, 3), jnp.float32),
+        "temporal": jnp.asarray(rng.rand(1, h, w, 3), jnp.float32),
+    }
+
+
+class TestInverseTransforms:
+    def test_identity_equals_forward(self):
+        def forward(variables, batch):
+            return {"seg_logits": batch["left"], "flow": batch["left"][..., :2],
+                    "disp": batch["left"][..., :1]}
+
+        b = _batch()
+        out = tta_forward(forward, {}, b, scales=(1.0,), flip=False)
+        np.testing.assert_allclose(out["seg_logits"], b["left"], rtol=1e-6)
+        np.testing.assert_allclose(out["flow"], b["left"][..., :2], rtol=1e-6)
+
+    def test_flip_negates_u_for_constant_flow(self):
+        """A model predicting constant flow (u0, v0) regardless of input:
+        the mirrored pass contributes (-u0, v0), so flip-TTA averages to
+        (0, v0) — pins the u-negation inverse."""
+
+        def forward(variables, batch):
+            shape = batch["left"].shape[:3] + (2,)
+            return {"flow": jnp.broadcast_to(jnp.asarray([3.0, 5.0]), shape)}
+
+        out = tta_forward(forward, {}, _batch(), scales=(1.0,), flip=True)
+        np.testing.assert_allclose(np.asarray(out["flow"][..., 0]), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["flow"][..., 1]), 5.0, atol=1e-5)
+
+    def test_flip_swaps_stereo_pair(self):
+        """The mirrored pass must feed (mirror(right), mirror(left)) — the
+        mirrored left camera IS the right camera."""
+        seen = []
+
+        def forward(variables, batch):
+            seen.append((np.asarray(batch["left"]), np.asarray(batch["right"])))
+            return {"disp": batch["left"][..., :1] * 0 + 2.0}
+
+        b = _batch()
+        out = tta_forward(forward, {}, b, scales=(1.0,), flip=True)
+        assert len(seen) == 2
+        np.testing.assert_allclose(seen[1][0], np.asarray(b["right"][:, :, ::-1]))
+        np.testing.assert_allclose(seen[1][1], np.asarray(b["left"][:, :, ::-1]))
+        np.testing.assert_allclose(np.asarray(out["disp"]), 2.0, atol=1e-5)
+
+    def test_scale_rescales_flow_values(self):
+        """At scale 0.5 a model predicting constant flow (4, 2) in its own
+        pixel units contributes (8, 4) at base resolution."""
+
+        def forward(variables, batch):
+            shape = batch["left"].shape[:3] + (2,)
+            return {"flow": jnp.broadcast_to(jnp.asarray([4.0, 2.0]), shape)}
+
+        out = tta_forward(forward, {}, _batch(), scales=(0.5,), flip=False)
+        np.testing.assert_allclose(np.asarray(out["flow"][..., 0]), 8.0, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["flow"][..., 1]), 4.0, rtol=1e-5)
+
+    def test_scale_rescales_disp(self):
+        def forward(variables, batch):
+            shape = batch["left"].shape[:3] + (1,)
+            return {"disp": jnp.full(shape, 6.0)}
+
+        out = tta_forward(forward, {}, _batch(), scales=(0.5,), flip=False)
+        np.testing.assert_allclose(np.asarray(out["disp"]), 12.0, rtol=1e-5)
+
+    def test_multi_scale_seg_averages(self):
+        def forward(variables, batch):
+            h = batch["left"].shape[1]
+            val = float(h)  # distinguishable per scale
+            return {"seg_logits": jnp.full(batch["left"].shape[:3] + (4,), val)}
+
+        b = _batch(h=16, w=24)
+        out = tta_forward(forward, {}, b, scales=(1.0, 0.5), flip=False)
+        np.testing.assert_allclose(np.asarray(out["seg_logits"]), (16 + 8) / 2.0,
+                                   rtol=1e-5)
+
+
+class TestTrainerTTA:
+    def test_evaluate_tta_runs(self):
+        from tests.test_train_step import tiny_config
+        from cerberusnet_tpu.train.trainer import Trainer
+
+        t = Trainer(tiny_config(variant="seg"))
+        out = t.evaluate_tta(scales=(1.0, 0.5), flip=True, per_class=True)
+        assert np.isfinite(out["miou"])
+        percls = [k for k in out if k.startswith("iou/")]
+        assert len(percls) == 19
+        assert "iou/road" in out
+
+
+class TestPerClassIoU:
+    def test_per_class_values(self):
+        from cerberusnet_tpu.train.metrics import MetricState
+
+        m = MetricState.zeros(3)
+        # class 0: 2 correct of 3; class 1: perfect; class 2 absent
+        pred = jnp.asarray([[[0, 0, 1, 1, 1]]])
+        labels = jnp.asarray([[[0, 0, 0, 1, 1]]])
+        m = m.update({"seg_logits": jax.nn.one_hot(pred, 3)}, {"seg_labels": labels})
+        out = m.compute(per_class=True, class_names=("a", "b", "c"))
+        assert out["iou/a"] == pytest.approx(2 / 3)
+        assert out["iou/b"] == pytest.approx(2 / 3)  # 2 TP, 1 FP
+        assert np.isnan(out["iou/c"])
+        assert out["miou"] == pytest.approx(2 / 3)
+
+
+class TestVideoStreamExample:
+    def test_stream_runs_tiny(self):
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from examples.video_stream import stream
+
+        stats = stream("fast", frames=6, hw=(64, 64), latency_samples=2,
+                       verbose=False)
+        assert stats["latency_ms_p50"] > 0
+        assert stats["throughput_fps"] and stats["throughput_fps"] > 0
