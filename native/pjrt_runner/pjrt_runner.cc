@@ -11,14 +11,22 @@
 //
 // Usage:
 //   pjrt_runner --plugin /path/libtpu.so --model <export_dir> \
-//               [--iters 10] [--opt key=value ...]
+//               [--iters 10] [--opt key=value ...] \
+//               [--inputs a.bin,b.bin,...] [--dump-outputs DIR]
 //
 // --opt values: integers are passed as PJRT int64 named values, everything
 // else as strings (matches how jax passes plugin options).
+// --inputs: raw little-endian tensor files matching the manifest's input
+//   shapes/dtypes byte-for-byte (tools/runner_io.py converts .npy <-> .bin);
+//   without it inputs are zero-filled (benchmark mode).
+// --dump-outputs: write each output as DIR/output_<i>.bin plus
+//   DIR/outputs.json ({shape, dtype} per output) — the full C++ inference
+//   path: load artifact -> compile -> feed tensors -> collect predictions.
 //
 // Build: see Makefile (headers vendored from the XLA pjrt_c_api.h contract).
 
 #include <dlfcn.h>
+#include <sys/stat.h>
 
 #include <chrono>
 #include <cstdint>
@@ -112,7 +120,7 @@ void Check(PJRT_Error* err, const char* what) {
 }  // namespace
 
 int main(int argc, char** argv) {
-  std::string plugin_path, model_path;
+  std::string plugin_path, model_path, inputs_arg, dump_dir;
   int iters = 10;
   std::vector<std::pair<std::string, std::string>> opts;
   for (int i = 1; i < argc; ++i) {
@@ -124,6 +132,8 @@ int main(int argc, char** argv) {
     if (a == "--plugin") plugin_path = next();
     else if (a == "--model") model_path = next();
     else if (a == "--iters") iters = std::stoi(next());
+    else if (a == "--inputs") inputs_arg = next();
+    else if (a == "--dump-outputs") dump_dir = next();
     else if (a == "--opt") {
       std::string kv = next();
       size_t eq = kv.find('=');
@@ -133,7 +143,14 @@ int main(int argc, char** argv) {
   }
   if (plugin_path.empty() || model_path.empty())
     Die("usage: pjrt_runner --plugin <pjrt_plugin.so> --model <export_dir> "
-        "[--iters N] [--opt k=v ...]");
+        "[--iters N] [--opt k=v ...] [--inputs a.bin,...] "
+        "[--dump-outputs DIR]");
+  std::vector<std::string> input_files;
+  if (!inputs_arg.empty()) {
+    std::stringstream ss(inputs_arg);
+    std::string tok;
+    while (std::getline(ss, tok, ',')) input_files.push_back(tok);
+  }
 
   // ---- load plugin ----
   void* handle = dlopen(plugin_path.c_str(), RTLD_LAZY | RTLD_LOCAL);
@@ -245,15 +262,27 @@ int main(int argc, char** argv) {
           std::chrono::steady_clock::now() - t_compile0)
           .count();
 
-  // ---- input buffers (zero-filled) ----
+  // ---- input buffers (zero-filled, or loaded from --inputs files) ----
+  if (!input_files.empty() && input_files.size() != in_shapes.size())
+    Die("--inputs count != manifest input count");
   std::vector<PJRT_Buffer*> inputs;
   std::vector<std::vector<char>> host_data;
-  for (const Shape& s : in_shapes) {
+  for (size_t ii = 0; ii < in_shapes.size(); ++ii) {
+    const Shape& s = in_shapes[ii];
     size_t itemsize;
     PJRT_Buffer_Type type = DtypeToPjrt(s.dtype, &itemsize);
     size_t n = itemsize;
     for (int64_t d : s.dims) n *= static_cast<size_t>(d);
-    host_data.emplace_back(n, 0);
+    if (!input_files.empty()) {
+      std::string raw = ReadFile(input_files[ii]);
+      if (raw.size() != n)
+        Die("input " + input_files[ii] + " has " +
+            std::to_string(raw.size()) + " bytes, expected " +
+            std::to_string(n));
+      host_data.emplace_back(raw.begin(), raw.end());
+    } else {
+      host_data.emplace_back(n, 0);
+    }
     PJRT_Client_BufferFromHostBuffer_Args args;
     std::memset(&args, 0, sizeof(args));
     args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
@@ -376,6 +405,87 @@ int main(int argc, char** argv) {
         g_api->PJRT_Buffer_Destroy(&d);
       }
     }
+  }
+
+  // ---- dump the final iteration's outputs ----
+  if (!dump_dir.empty()) {
+    mkdir(dump_dir.c_str(), 0755);
+    std::ostringstream meta;
+    meta << "[";
+    for (size_t oi = 0; oi < num_outputs; ++oi) {
+      PJRT_Buffer* b = output_storage[oi];
+      if (!b) Die("missing output buffer");
+      PJRT_Buffer_Dimensions_Args dargs;
+      std::memset(&dargs, 0, sizeof(dargs));
+      dargs.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+      dargs.buffer = b;
+      Check(g_api->PJRT_Buffer_Dimensions(&dargs), "Buffer_Dimensions");
+      PJRT_Buffer_ElementType_Args targs;
+      std::memset(&targs, 0, sizeof(targs));
+      targs.struct_size = PJRT_Buffer_ElementType_Args_STRUCT_SIZE;
+      targs.buffer = b;
+      Check(g_api->PJRT_Buffer_ElementType(&targs), "Buffer_ElementType");
+      const char* dtype = "unknown";
+      switch (targs.type) {
+        case PJRT_Buffer_Type_F32: dtype = "float32"; break;
+        case PJRT_Buffer_Type_BF16: dtype = "bfloat16"; break;
+        case PJRT_Buffer_Type_F16: dtype = "float16"; break;
+        case PJRT_Buffer_Type_S32: dtype = "int32"; break;
+        case PJRT_Buffer_Type_U8: dtype = "uint8"; break;
+        default: break;
+      }
+      // Request DENSE ROW-MAJOR host bytes: without an explicit host_layout
+      // the runtime may deliver the device layout (observed channel-major on
+      // the TPU backend — a silent transpose for C>1 outputs).
+      std::vector<int64_t> m2m(dargs.num_dims);
+      for (size_t di = 0; di < dargs.num_dims; ++di)
+        m2m[di] = static_cast<int64_t>(dargs.num_dims - 1 - di);
+      PJRT_Buffer_MemoryLayout layout;
+      std::memset(&layout, 0, sizeof(layout));
+      layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+      layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+      layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+      layout.tiled.minor_to_major = m2m.data();
+      layout.tiled.minor_to_major_size = m2m.size();
+      PJRT_Buffer_ToHostBuffer_Args th;
+      std::memset(&th, 0, sizeof(th));
+      th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+      th.src = b;
+      th.host_layout = &layout;
+      Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "dump size");
+      std::vector<char> host(th.dst_size);
+      th.dst = host.data();
+      Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "dump read");
+      if (th.event) {
+        PJRT_Event_Await_Args eargs;
+        std::memset(&eargs, 0, sizeof(eargs));
+        eargs.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+        eargs.event = th.event;
+        Check(g_api->PJRT_Event_Await(&eargs), "await dump d2h");
+        PJRT_Event_Destroy_Args d;
+        std::memset(&d, 0, sizeof(d));
+        d.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+        d.event = th.event;
+        g_api->PJRT_Event_Destroy(&d);
+      }
+      std::string path = dump_dir + "/output_" + std::to_string(oi) + ".bin";
+      std::ofstream f(path, std::ios::binary);
+      if (!f) Die("cannot write " + path);
+      f.write(host.data(), static_cast<std::streamsize>(host.size()));
+      if (oi) meta << ", ";
+      meta << "{\"file\": \"output_" << oi << ".bin\", \"dtype\": \""
+           << dtype << "\", \"shape\": [";
+      for (size_t di = 0; di < dargs.num_dims; ++di) {
+        if (di) meta << ", ";
+        meta << dargs.dims[di];
+      }
+      meta << "]}";
+    }
+    meta << "]";
+    std::ofstream mf(dump_dir + "/outputs.json");
+    mf << meta.str() << "\n";
+    std::fprintf(stderr, "[pjrt_runner] wrote %zu outputs to %s\n",
+                 num_outputs, dump_dir.c_str());
   }
 
   std::printf(

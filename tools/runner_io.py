@@ -1,0 +1,127 @@
+"""Host-side I/O helpers for the C++ PJRT runner (native/pjrt_runner).
+
+The runner consumes/produces raw little-endian tensor files (.bin) because
+bfloat16 has no numpy dtype descriptor for .npy. These helpers convert
+arrays <-> .bin per the export manifest, and verify a native run against
+the jax.export reference:
+
+    python tools/runner_io.py verify <export_dir> \
+        [--plugin /opt/axon/libaxon_pjrt.so] [--runner <path>]
+
+writes random inputs, runs the C++ binary with --inputs/--dump-outputs,
+reloads its outputs, and compares with `load_exported(...).call(...)`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def _np_dtype(name: str):
+    if name == "bfloat16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(name)
+
+
+def write_bin(path: str, array, dtype: str):
+    a = np.asarray(array).astype(_np_dtype(dtype))
+    with open(path, "wb") as f:
+        f.write(a.tobytes())
+    return path
+
+
+def read_bin(path: str, shape, dtype: str):
+    with open(path, "rb") as f:
+        raw = f.read()
+    return np.frombuffer(raw, dtype=_np_dtype(dtype)).reshape(shape)
+
+
+def read_outputs(dump_dir: str):
+    """Load the runner's outputs.json + output_<i>.bin files."""
+    with open(os.path.join(dump_dir, "outputs.json")) as f:
+        meta = json.load(f)
+    return [
+        read_bin(os.path.join(dump_dir, m["file"]), m["shape"], m["dtype"])
+        for m in meta
+    ]
+
+
+def verify(export_dir: str, plugin: str, runner: str, seed: int = 0,
+           rtol: float = 2e-2, atol: float = 2e-2) -> bool:
+    """Random-input equivalence: C++ PJRT runner vs jax.export reference."""
+    with open(os.path.join(export_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    rng = np.random.RandomState(seed)
+    tmp = os.path.join(export_dir, "_verify")
+    os.makedirs(tmp, exist_ok=True)
+    paths, arrays = [], []
+    for i, spec in enumerate(manifest["inputs"]):
+        a = rng.rand(*spec["shape"]).astype(np.float32)
+        arrays.append(a)
+        paths.append(write_bin(os.path.join(tmp, f"in_{i}.bin"), a, spec["dtype"]))
+
+    cmd = [runner, "--plugin", plugin, "--model", export_dir, "--iters", "1",
+           "--inputs", ",".join(paths), "--dump-outputs", tmp]
+    env = dict(os.environ)
+    if "axon" in os.path.basename(plugin):
+        # required axon-plugin client options + tunnel env (runner README)
+        for kv in ("remote_compile=1", "local_only=0", "priority=0",
+                   "topology=v5e:1x1x1", "n_slices=1",
+                   f"session_id=cpp-verify-{os.getpid()}"):
+            cmd += ["--opt", kv]
+        env.setdefault("AXON_POOL_SVC_OVERRIDE", "127.0.0.1")
+        env.setdefault("AXON_LOOPBACK_RELAY", "1")
+        env.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+    print("+", " ".join(cmd), file=sys.stderr)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    if out.returncode != 0:
+        print(out.stderr, file=sys.stderr)
+        raise RuntimeError(f"runner failed ({out.returncode})")
+    print(out.stdout.strip())
+
+    native = read_outputs(tmp)
+
+    from cerberusnet_tpu.export.aot import load_exported
+
+    ref = load_exported(export_dir).call(
+        *[a.astype(_np_dtype(s["dtype"]))
+          for a, s in zip(arrays, manifest["inputs"])]
+    )
+    ok = True
+    for i, (n, r) in enumerate(zip(native, ref)):
+        n32 = np.asarray(n, np.float32)
+        r32 = np.asarray(r, np.float32)
+        rel = np.linalg.norm((n32 - r32).ravel()) / (
+            np.linalg.norm(r32.ravel()) + 1e-9
+        )
+        good = np.allclose(n32, r32, rtol=rtol, atol=atol)
+        print(f"output {i}: shape {n32.shape} rel_l2 {rel:.2e} "
+              f"{'OK' if good else 'MISMATCH'}")
+        ok = ok and good
+    return ok
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    v = sub.add_parser("verify")
+    v.add_argument("export_dir")
+    v.add_argument("--plugin", default="/opt/axon/libaxon_pjrt.so")
+    v.add_argument(
+        "--runner",
+        default=os.path.join(os.path.dirname(__file__), "..", "native",
+                             "pjrt_runner", "pjrt_runner"),
+    )
+    args = ap.parse_args()
+    sys.exit(0 if verify(args.export_dir, args.plugin, args.runner) else 1)
