@@ -40,6 +40,7 @@ class CerberusNet(nn.Module):
     fpn_channels: int = 96
     corr_impl: str | None = None
     fused: bool = True  # fused estimator+prediction convs (identical math)
+    batched_encoder: bool = False  # one B*3 encoder pass (identical math)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -54,9 +55,21 @@ class CerberusNet(nn.Module):
           disp_pyramid:  {level: (B, H/2^l, W/2^l, 1)}
         """
         encoder = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)
-        f_left = encoder(left)
-        f_right = encoder(right)
-        f_temporal = encoder(temporal)
+        if self.batched_encoder:
+            # One batched encoder application over the three frames:
+            # identical math; 1.25x faster STANDALONE on v5e, but the
+            # per-level batch-split slices cost relayout copies downstream —
+            # measured net-NEGATIVE in the full jitted graph, so off by
+            # default (same fusion-boundary lesson as ops/correlation.py).
+            b = left.shape[0]
+            feats = encoder(jnp.concatenate([left, right, temporal], axis=0))
+            f_left = [f[:b] for f in feats]
+            f_right = [f[b : 2 * b] for f in feats]
+            f_temporal = [f[2 * b :] for f in feats]
+        else:
+            f_left = encoder(left)
+            f_right = encoder(right)
+            f_temporal = encoder(temporal)
 
         disp_out = DisparityDecoder(
             max_disp_full=self.max_disp_full,

@@ -34,6 +34,20 @@ def upsample_to(x, hw, method: str = "bilinear"):
     return jax.image.resize(x, (b, hw[0], hw[1], c), method=method)
 
 
+def encode_pair(encoder, im1, im2):
+    """Encode both frames with the shared encoder.
+
+    Two SEPARATE applications, deliberately: batching the frames into one
+    B*2 encoder pass is 1.25x faster standalone on v5e, but the per-level
+    batch-split slices force relayout copies at every downstream consumer —
+    interleaved A/B on the joint model measured it 1.2-1.4 ms SLOWER
+    end-to-end (9.7 -> 11.0 ms). Same fusion-boundary lesson as the
+    correlation dispatch (ops/correlation.py docstring); the batched
+    variant is kept behind CerberusNet.batched_encoder for re-evaluation
+    on future compiler versions."""
+    return encoder(im1), encoder(im2)
+
+
 class ConvBlock(nn.Module):
     """Conv 3x3 + LeakyReLU(0.1)."""
 

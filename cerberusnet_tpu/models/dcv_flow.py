@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from cerberusnet_tpu.models.common import (
+    encode_pair,
     ContextNetwork,
     DenseEstimator,
     FusedDenseEstimator,
@@ -114,7 +115,7 @@ class DCVFlowNet(nn.Module):
             corr_impl=self.corr_impl,
             fused=self.fused,
             dtype=self.dtype,
-        )(enc(im1), enc(im2))
+        )(*encode_pair(enc, im1, im2))
 
 
 class DCVStereoDecoder(nn.Module):
@@ -181,7 +182,7 @@ class DCVStereoNet(nn.Module):
             corr_impl=self.corr_impl,
             fused=self.fused,
             dtype=self.dtype,
-        )(enc(left), enc(right))
+        )(*encode_pair(enc, left, right))
 
 
 class CerberusDCV(nn.Module):
@@ -209,6 +210,8 @@ class CerberusDCV(nn.Module):
         from cerberusnet_tpu.models.segmentation import SegmentationHead
 
         enc = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)
+        # separate applications — batching measured slower end-to-end (see
+        # common.encode_pair docstring)
         f_left = enc(left)
         f_right = enc(right)
         f_temporal = enc(temporal)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from cerberusnet_tpu.models.common import (
+    encode_pair,
     ContextNetwork,
     DenseEstimator,
     FusedDenseEstimator,
@@ -130,4 +131,4 @@ class StereoNet(nn.Module):
             corr_impl=self.corr_impl,
             fused=self.fused,
             dtype=self.dtype,
-        )(enc(left), enc(right))
+        )(*encode_pair(enc, left, right))

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from cerberusnet_tpu.models.common import (
+    encode_pair,
     ContextNetwork,
     DenseEstimator,
     FusedDenseEstimator,
@@ -132,4 +133,4 @@ class FlowNet(nn.Module):
             corr_impl=self.corr_impl,
             fused=self.fused,
             dtype=self.dtype,
-        )(enc(im1), enc(im2))
+        )(*encode_pair(enc, im1, im2))
