@@ -17,7 +17,12 @@ Scheme (mirrors TRT's default):
 
 Everything is built on flax method interception, so NO model changes are
 needed — the same ``CerberusNet``/``DCV*`` module defs serve f32, bf16 and
-int8. The three phases:
+int8. One interaction to know: the fused estimator formulation
+(models/common.py FusedDenseEstimator) computes its convs through raw lax
+ops, which interception cannot see — quantize with ``fused=False`` models
+(the param trees are identical, so the same weights drop straight in;
+``Trainer.export(quant='int8')`` handles this automatically). The three
+phases:
 
   1. ``calibrate(model, variables, batches)`` -> ``{path: absmax}`` —
      runs batches through the unmodified model under an interceptor that

@@ -558,12 +558,28 @@ class Trainer:
         from contextlib import nullcontext
 
         make_interception = nullcontext
+        forward = self.forward
         if quant == "int8":
+            import dataclasses as _dc
+
             from cerberusnet_tpu.quant import (
                 calibrate,
                 quant_interception,
                 quantize,
             )
+
+            # PTQ quantizes convs by intercepting nn.Conv calls; the fused
+            # estimator formulation computes its convs through raw lax ops
+            # and would be skipped. The fused/unfused param trees are
+            # IDENTICAL (tests/test_fused_estimator.py), so quantized
+            # export simply rebuilds the graph unfused — every conv then
+            # goes through nn.Conv and quantizes.
+            if getattr(self.config.model, "fused", False):
+                q_model, forward, _ = build_model(
+                    _dc.replace(self.config.model, fused=False)
+                )
+            else:
+                q_model = self.model
 
             loader = DataLoader(self.dataset, batch_size=batch, num_workers=1)
             batches = []
@@ -577,7 +593,7 @@ class Trainer:
                         for k in self.example_keys
                     )
                 )
-            scales = calibrate(self.model, variables, batches)
+            scales = calibrate(q_model, variables, batches)
             variables = quantize(variables, scales, skip=quant_skip, strip=True)
             make_interception = quant_interception
         elif quant is not None:
@@ -586,7 +602,7 @@ class Trainer:
         def infer(*imgs):
             batch_d = dict(zip(self.example_keys, imgs))
             with make_interception():
-                out = self.forward(variables, batch_d)
+                out = forward(variables, batch_d)
             # deployment surface: full-res outputs only, fixed order
             return tuple(
                 out[k] for k in ("seg_logits", "flow", "disp") if k in out

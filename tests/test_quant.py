@@ -130,6 +130,29 @@ class TestQuantizedApply:
 class TestCerberusQuant:
     """End-to-end on the tiny 3-head joint model (CPU-sized)."""
 
+    def test_fused_model_calibrates_fewer_convs(self):
+        """Interception only sees nn.Conv calls: the fused estimator's raw
+        lax convs are invisible to PTQ — quantize unfused models (same
+        param tree; Trainer.export(quant='int8') switches automatically)."""
+        kw = dict(
+            encoder_channels=(8, 12, 16, 16, 16, 16),
+            est_channels=(16, 16, 12),
+            ctx_channels=(16, 16),
+            fpn_channels=16,
+            corr_impl="pure",
+        )
+        rng = np.random.RandomState(0)
+        imgs = tuple(
+            jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32) for _ in range(3)
+        )
+        mf = CerberusNet(fused=True, **kw)
+        mu = CerberusNet(fused=False, **kw)
+        v = jax.jit(mf.init)(jax.random.PRNGKey(0), *imgs)
+        sf = calibrate(mf, v, [imgs])
+        su = calibrate(mu, v, [imgs])
+        assert len(su) > len(sf)  # unfused sees the estimator+pred convs too
+        assert set(sf) <= set(su)
+
     def test_joint_model_quantizes(self):
         model = CerberusNet(
             encoder_channels=(8, 12, 16, 16, 16, 16),
@@ -137,6 +160,7 @@ class TestCerberusQuant:
             ctx_channels=(16, 16),
             fpn_channels=16,
             corr_impl="pure",
+            fused=False,  # full conv coverage for PTQ (see test above)
         )
         rng = np.random.RandomState(0)
         imgs = tuple(
