@@ -16,7 +16,9 @@ import numpy as np
 from cerberusnet_tpu.ops.correlation import _correlation1d_pure, _correlation2d_pure
 from cerberusnet_tpu.ops.pallas.correlation import (
     correlation1d_pallas,
+    correlation1d_wl,
     correlation2d_pallas,
+    correlation2d_wl,
 )
 
 # (level, H, W, C) for 1024x512 input; flow corr d=4; disp D=max(96>>l, 4)
@@ -69,11 +71,17 @@ def main():
             row["corr2d_pure_us"] = loop_time(
                 functools.partial(_correlation2d_pure, max_disp=4), f1, f2
             )
+            row["corr2d_wl_us"] = loop_time(
+                functools.partial(correlation2d_wl, max_disp=4), f1, f2
+            )
             row["corr1d_pallas_us"] = loop_time(
                 functools.partial(correlation1d_pallas, max_disp=d1), f1, f2
             )
             row["corr1d_pure_us"] = loop_time(
                 functools.partial(_correlation1d_pure, max_disp=d1), f1, f2
+            )
+            row["corr1d_wl_us"] = loop_time(
+                functools.partial(correlation1d_wl, max_disp=d1), f1, f2
             )
             if level == 2:
                 row["corr2d_grad_pallas_us"] = grad_loop_time(
