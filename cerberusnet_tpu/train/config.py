@@ -104,6 +104,10 @@ class TrainConfig:
     ckpt_dir: str = ""
     resume: bool = True
     keep_checkpoints: int = 3
+    # Checkpoint cadence: a full Orbax save costs seconds over a remote
+    # backend; short-epoch runs should not pay it every epoch. The final
+    # epoch always checkpoints.
+    ckpt_every_epochs: int = 1
     num_data_devices: int = 0  # 0 = all visible devices
     num_spatial_devices: int = 1
     remat: bool = False  # jax.checkpoint the forward (HBM <-> FLOPs trade)

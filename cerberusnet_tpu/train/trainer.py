@@ -495,7 +495,11 @@ class Trainer:
                     if write_header:
                         writer.writeheader()
                     writer.writerow(row)
-            self.save_checkpoint()
+            if (
+                (epoch + 1) % cfg.train.ckpt_every_epochs == 0
+                or epoch + 1 == cfg.train.epochs
+            ):
+                self.save_checkpoint()
         return self.history
 
     def save_checkpoint(self):
