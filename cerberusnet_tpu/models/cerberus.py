@@ -27,7 +27,7 @@ import flax.linen as nn
 from cerberusnet_tpu.models.disparity import DisparityDecoder
 from cerberusnet_tpu.models.encoder import PyramidEncoder
 from cerberusnet_tpu.models.flow import FlowDecoder
-from cerberusnet_tpu.models.segmentation import SegmentationHead
+from cerberusnet_tpu.models.segmentation import make_seg_head
 
 
 class CerberusNet(nn.Module):
@@ -41,6 +41,7 @@ class CerberusNet(nn.Module):
     corr_impl: str | None = None
     fused: bool = True  # fused estimator+prediction convs (identical math)
     batched_encoder: bool = False  # one B*3 encoder pass (identical math)
+    seg_head: str = "fpn"  # fpn | aspp (models/segmentation.py factory)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -87,8 +88,8 @@ class CerberusNet(nn.Module):
             fused=self.fused,
             dtype=self.dtype,
         )(f_left, f_temporal)
-        seg_logits = SegmentationHead(
-            self.num_classes, fpn_channels=self.fpn_channels, dtype=self.dtype
+        seg_logits = make_seg_head(
+            self.seg_head, self.num_classes, self.fpn_channels, self.dtype
         )(f_left, left.shape[1:3])
         return {
             "seg_logits": seg_logits,

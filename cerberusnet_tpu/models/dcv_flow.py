@@ -203,11 +203,12 @@ class CerberusDCV(nn.Module):
     fpn_channels: int = 96
     corr_impl: str | None = None
     fused: bool = True
+    seg_head: str = "fpn"  # fpn | aspp
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, left, right, temporal):
-        from cerberusnet_tpu.models.segmentation import SegmentationHead
+        from cerberusnet_tpu.models.segmentation import make_seg_head
 
         enc = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)
         # separate applications — batching measured slower end-to-end (see
@@ -235,8 +236,8 @@ class CerberusDCV(nn.Module):
             fused=self.fused,
             dtype=self.dtype,
         )(f_left, f_temporal)
-        seg_logits = SegmentationHead(
-            self.num_classes, fpn_channels=self.fpn_channels, dtype=self.dtype
+        seg_logits = make_seg_head(
+            self.seg_head, self.num_classes, self.fpn_channels, self.dtype
         )(f_left, left.shape[1:3])
         return {
             "seg_logits": seg_logits,

@@ -52,6 +52,62 @@ class SegmentationHead(nn.Module):
         return upsample_to(logits, out_hw)
 
 
+class ASPPSegmentationHead(nn.Module):
+    """Atrous-spatial-pyramid-pooling decoder (DeepLab family) — the
+    higher-accuracy segmentation head variant alongside the default FPN
+    head. Operates on the level-3 (1/8-res) pyramid features: parallel
+    dilated 3x3 convs + an image-level pooled branch, concatenated and
+    projected, with a low-level (level-2) skip refinement before the
+    classifier. All convs are static-shape and norm-free (TPU-friendly,
+    same conventions as the rest of the model zoo)."""
+
+    num_classes: int = 19
+    channels: int = 128
+    rates: Sequence[int] = (1, 6, 12, 18)
+    level: int = 3
+    skip_level: int = 2
+    skip_channels: int = 48
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, out_hw):
+        x = feats[self.level - 1]
+        branches = [
+            ConvBlock(self.channels, dilation=r, dtype=self.dtype)(x)
+            for r in self.rates
+        ]
+        # image-level context: global average pool -> 1x1 -> broadcast back
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        pooled = leaky(nn.Conv(self.channels, (1, 1), dtype=self.dtype)(pooled))
+        branches.append(jnp.broadcast_to(pooled, x.shape[:3] + (self.channels,)))
+        y = jnp.concatenate(branches, axis=-1)
+        y = leaky(nn.Conv(self.channels, (1, 1), dtype=self.dtype)(y))
+        # low-level skip at 1/4 res
+        skip = leaky(
+            nn.Conv(self.skip_channels, (1, 1), dtype=self.dtype)(
+                feats[self.skip_level - 1]
+            )
+        )
+        y = upsample_to(y, skip.shape[1:3])
+        y = jnp.concatenate([y, skip], axis=-1)
+        y = ConvBlock(self.channels, dtype=self.dtype)(y)
+        y = ConvBlock(self.channels, dtype=self.dtype)(y)
+        logits = nn.Conv(
+            self.num_classes, (3, 3), padding="SAME", dtype=jnp.float32
+        )(y)
+        return upsample_to(logits, out_hw)
+
+
+def make_seg_head(kind: str, num_classes: int, fpn_channels: int, dtype):
+    """Factory for the segmentation decoder family: 'fpn' (default,
+    lightweight top-down) or 'aspp' (dilated-pyramid, higher capacity)."""
+    if kind == "fpn":
+        return SegmentationHead(num_classes, fpn_channels=fpn_channels, dtype=dtype)
+    if kind == "aspp":
+        return ASPPSegmentationHead(num_classes, dtype=dtype)
+    raise ValueError(f"unknown seg head {kind!r} (expected 'fpn' | 'aspp')")
+
+
 class SegNet(nn.Module):
     """Single-task segmentation baseline (SURVEY.md §3 C4 row; also the
     minimum end-to-end slice of the build plan, SURVEY.md §7 step 3)."""
@@ -59,11 +115,12 @@ class SegNet(nn.Module):
     encoder_channels: Sequence[int] = (16, 32, 64, 96, 128, 196)
     num_classes: int = 19
     fpn_channels: int = 96
+    seg_head: str = "fpn"  # fpn | aspp
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, image):
         feats = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)(image)
-        return SegmentationHead(
-            self.num_classes, fpn_channels=self.fpn_channels, dtype=self.dtype
+        return make_seg_head(
+            self.seg_head, self.num_classes, self.fpn_channels, self.dtype
         )(feats, image.shape[1:3])

@@ -24,6 +24,7 @@ class ModelConfig:
     est_channels: Tuple[int, ...] = (128, 128, 96, 64, 32)
     ctx_channels: Tuple[int, ...] = (128, 128, 128, 96, 64, 32)
     fpn_channels: int = 96
+    seg_head: str = "fpn"  # fpn | aspp (DeepLab-style dilated pyramid)
     corr_impl: Optional[str] = None  # None=auto | pure | pallas
     # Fused DenseNet-estimator + prediction convs (identical math and param
     # tree; each stack component convolved once — measured 1.6x on v5e).

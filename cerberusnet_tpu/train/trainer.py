@@ -63,6 +63,7 @@ def build_model(cfg: ModelConfig):
             est_channels=tuple(cfg.est_channels),
             ctx_channels=tuple(cfg.ctx_channels),
             fpn_channels=cfg.fpn_channels,
+            seg_head=cfg.seg_head,
             **common,
         )
 
@@ -80,6 +81,7 @@ def build_model(cfg: ModelConfig):
             est_channels=tuple(cfg.est_channels),
             ctx_channels=tuple(cfg.ctx_channels),
             fpn_channels=cfg.fpn_channels,
+            seg_head=cfg.seg_head,
             **common,
         )
 
@@ -141,6 +143,7 @@ def build_model(cfg: ModelConfig):
             encoder_channels=tuple(cfg.encoder_channels),
             num_classes=cfg.num_classes,
             fpn_channels=cfg.fpn_channels,
+            seg_head=cfg.seg_head,
             dtype=cfg.jnp_dtype,
         )
 

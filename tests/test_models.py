@@ -184,3 +184,63 @@ class TestCerberusDCV:
         assert out["disp"].shape == (1, H, W, 1)
         for k in ("seg_logits", "flow", "disp"):
             assert bool(jnp.all(jnp.isfinite(out[k]))), k
+
+
+class TestASPPSegHead:
+    """ASPP (DeepLab-style) segmentation decoder variant
+    (models/segmentation.py make_seg_head factory)."""
+
+    def test_segnet_aspp_shapes(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from cerberusnet_tpu.models.segmentation import SegNet
+
+        m = SegNet(
+            encoder_channels=(8, 12, 16, 16, 16, 16), seg_head="aspp",
+            num_classes=7,
+        )
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        out = jax.jit(m.apply)(v, x)
+        assert out.shape == (1, 64, 64, 7)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_cerberus_with_aspp_head(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from cerberusnet_tpu.models import CerberusNet
+
+        m = CerberusNet(
+            encoder_channels=(8, 12, 16, 16, 16, 16),
+            est_channels=(16, 16, 12), ctx_channels=(16, 16),
+            fpn_channels=16, corr_impl="pure", seg_head="aspp",
+        )
+        imgs = tuple(
+            jnp.asarray(np.random.RandomState(i).rand(1, 64, 64, 3), jnp.float32)
+            for i in range(3)
+        )
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), *imgs)
+        out = jax.jit(m.apply)(v, *imgs)
+        assert out["seg_logits"].shape == (1, 64, 64, 19)
+        assert "ASPPSegmentationHead_0" in v["params"]
+
+    def test_seg_aspp_trains(self):
+        import numpy as np
+        from tests.test_train_step import tiny_config
+        from cerberusnet_tpu.train.trainer import Trainer
+        from cerberusnet_tpu.data.synthetic import SyntheticPerceptionDataset
+        from cerberusnet_tpu.data.loader import DataLoader
+
+        cfg = tiny_config(variant="seg")
+        cfg.model.seg_head = "aspp"
+        t = Trainer(cfg)
+        ds = SyntheticPerceptionDataset(length=2, hw=(64, 64))
+        batch = next(iter(DataLoader(ds, batch_size=2, num_workers=1)))
+        first = last = None
+        for _ in range(8):
+            comps = t.train_step(batch)
+            last = float(comps["total"])
+            first = first if first is not None else last
+        assert np.isfinite(last) and last < first
