@@ -109,6 +109,11 @@ class TrainConfig:
     # backend; short-epoch runs should not pay it every epoch. The final
     # epoch always checkpoints.
     ckpt_every_epochs: int = 1
+    # Failure detection/recovery (SURVEY.md §6.3): when the train loss goes
+    # non-finite, restore the last checkpoint and continue (abort after
+    # max_nan_recoveries). Costs one host sync per step — off by default.
+    recover_on_nan: bool = False
+    max_nan_recoveries: int = 3
     num_data_devices: int = 0  # 0 = all visible devices
     num_spatial_devices: int = 1
     remat: bool = False  # jax.checkpoint the forward (HBM <-> FLOPs trade)

@@ -457,11 +457,34 @@ class Trainer:
                 from cerberusnet_tpu.utils.tblogger import TBLogger
 
                 tb = TBLogger(os.path.join(cfg.train.ckpt_dir, "tb"))
+        nan_recoveries = 0
         for epoch in range(cfg.train.epochs):
             t_epoch = time.time()
             comps = {}
             for i, batch in enumerate(loader):
                 comps = self.train_step(batch)
+                if cfg.train.recover_on_nan and not np.isfinite(
+                    float(comps["total"])
+                ):
+                    # Failure recovery (SURVEY.md §6.3): a non-finite loss
+                    # has already corrupted params/opt-state — roll back to
+                    # the last checkpoint and keep training.
+                    nan_recoveries += 1
+                    if nan_recoveries > cfg.train.max_nan_recoveries:
+                        raise RuntimeError(
+                            f"loss non-finite after {nan_recoveries - 1} "
+                            "checkpoint recoveries — aborting"
+                        )
+                    print(
+                        f"[trainer] non-finite loss at step "
+                        f"{int(self.state.step)}; restoring last checkpoint "
+                        f"(recovery {nan_recoveries}/"
+                        f"{cfg.train.max_nan_recoveries})"
+                    )
+                    self.state = self._create_state()
+                    if self._ckpt_mgr:
+                        self._maybe_restore()  # else: fresh re-init
+                    continue
                 if (i + 1) % cfg.train.log_every == 0:
                     vals = {k: float(v) for k, v in comps.items()}
                     print(f"[epoch {epoch} step {i + 1}] {vals}")
