@@ -49,7 +49,6 @@ def warp2d(f, flow):
     if flow.shape != (b, h, w, 2):
         raise ValueError(f"flow shape {flow.shape} != {(b, h, w, 2)}")
     orig_dtype = f.dtype
-    ff = f.astype(jnp.float32)
     fl = flow.astype(jnp.float32)
 
     xs = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 2) + fl[..., 0]
@@ -62,7 +61,10 @@ def warp2d(f, flow):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    flat = ff.reshape(b, h * w, c)
+    # Gather in f's ORIGIN dtype and widen after: f32(x)[i] == f32(x[i]),
+    # so results are bitwise identical while the gathers move half the
+    # bytes for bf16 inputs (measured 1.2x at the level-2 shape).
+    flat = f.reshape(b, h * w, c)
     out = jnp.zeros((b, h, w, c), jnp.float32)
     for dy in (0, 1):
         for dx in (0, 1):
@@ -74,7 +76,11 @@ def warp2d(f, flow):
             idx = (jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)).reshape(
                 b, h * w, 1
             )
-            corner = jnp.take_along_axis(flat, idx, axis=1).reshape(b, h, w, c)
+            corner = (
+                jnp.take_along_axis(flat, idx, axis=1)
+                .reshape(b, h, w, c)
+                .astype(jnp.float32)
+            )
             out = out + wgt[..., None] * corner
     return out.astype(orig_dtype)
 
