@@ -130,3 +130,66 @@ class TestVideoStreamExample:
                        verbose=False)
         assert stats["latency_ms_p50"] > 0
         assert stats["throughput_fps"] and stats["throughput_fps"] > 0
+
+
+class TestTiledInference:
+    """Sliding-window inference (eval/tiled.py)."""
+
+    def test_pointwise_model_tiling_is_exact(self):
+        """For a pointwise model (output depends only on the pixel), tiled
+        inference must reproduce the full-image forward exactly — pins the
+        window placement, blending normalization, and stitching."""
+        from cerberusnet_tpu.eval import tiled_forward
+
+        def forward(variables, batch):
+            x = batch["left"]
+            return {"seg_logits": x * 2.0 + 1.0, "flow": x[..., :2] - 0.5,
+                    "disp": x[..., :1] * 3.0}
+
+        b = _batch(h=40, w=56)
+        ref = forward({}, b)
+        out = tiled_forward(forward, {}, b, tile_hw=(16, 24), overlap=0.25)
+        for k in ("seg_logits", "flow", "disp"):
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(ref[k]), rtol=1e-5, atol=1e-5
+            )
+
+    def test_tile_larger_than_image(self):
+        from cerberusnet_tpu.eval import tiled_forward
+
+        def forward(variables, batch):
+            return {"disp": batch["left"][..., :1]}
+
+        b = _batch(h=16, w=24)
+        out = tiled_forward(forward, {}, b, tile_hw=(32, 32))
+        np.testing.assert_allclose(
+            np.asarray(out["disp"]), np.asarray(b["left"][..., :1]), rtol=1e-5
+        )
+
+    def test_real_model_tiles(self):
+        """Tiny CerberusNet over a larger canvas: finite outputs, right
+        shapes, single compile shape across tiles."""
+        import jax
+        from cerberusnet_tpu.eval import tiled_forward
+        from cerberusnet_tpu.models import CerberusNet
+
+        m = CerberusNet(
+            encoder_channels=(8, 12, 16, 16, 16, 16), est_channels=(16, 16, 12),
+            ctx_channels=(16, 16), fpn_channels=16, corr_impl="pure",
+        )
+        rng = np.random.RandomState(0)
+        batch = {
+            k: jnp.asarray(rng.rand(1, 128, 128, 3), jnp.float32)
+            for k in ("left", "right", "temporal")
+        }
+        tile = {k: v[:, :64, :64] for k, v in batch.items()}
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), *tile.values())
+
+        def forward(variables, bt):
+            return m.apply(variables, bt["left"], bt["right"], bt["temporal"])
+
+        out = tiled_forward(forward, v, batch, tile_hw=(64, 64), overlap=0.5)
+        assert out["seg_logits"].shape == (1, 128, 128, 19)
+        assert out["flow"].shape == (1, 128, 128, 2)
+        for k in out:
+            assert np.isfinite(np.asarray(out[k])).all(), k
