@@ -150,26 +150,32 @@ class FusedDenseEstimator(nn.Module):
 
     @nn.compact
     def __call__(self, x0, extra_kb=()):
+        """x0: the estimator input — one tensor, or a LIST of tensors taken
+        as pre-split stack components (e.g. [cost_volume, features]); the
+        math is identical to concatenating them first, but each component
+        is consumed where it stands, skipping the input-concat copy."""
+        initial = list(x0) if isinstance(x0, (list, tuple)) else [x0]
+        n0 = len(initial)
         n_est = len(self.channels)
         kbs = []
-        cin = x0.shape[-1]
+        cin = sum(c.shape[-1] for c in initial)
         for i, ch in enumerate(self.channels):
             kbs.append(_ConvBlockMirror(ch, cin, name=f"ConvBlock_{i}")())
             cin += ch
 
-        # consumer i consumes stack components 0..needs-1
+        # est conv i consumes the n0 initial components + y_1..y_i
         consumers = [
-            {"k": k, "b": b, "needs": i + 1, "acc": None}
+            {"k": k, "b": b, "needs": n0 + i, "acc": None}
             for i, (k, b) in enumerate(kbs)
         ]
         consumers += [
-            {"k": k, "b": b, "needs": n_est + 1, "acc": None}
+            {"k": k, "b": b, "needs": n0 + n_est, "acc": None}
             for (k, b) in extra_kb
         ]
 
-        components = [x0]
+        components = list(initial)
         offset = 0
-        for j in range(n_est + 1):
+        for j in range(n0 + n_est):
             c = components[j]
             lo, hi = offset, offset + c.shape[-1]
             offset = hi
@@ -184,8 +190,9 @@ class FusedDenseEstimator(nn.Module):
                 part = out[..., pos : pos + n]
                 pos += n
                 t["acc"] = part if t["acc"] is None else t["acc"] + part
-            if j < n_est:
-                t = consumers[j]
+            i_est = j - (n0 - 1)  # y_{i_est+1} finalizes after component j
+            if 0 <= i_est < n_est:
+                t = consumers[i_est]
                 components.append(leaky(t["acc"] + t["b"].astype(self.dtype)))
 
         stack = jnp.concatenate(components, axis=-1)

@@ -39,14 +39,20 @@ from cerberusnet_tpu.ops.correlation import correlation2d
 
 def _estimate(x0, est_channels, out_ch, fused, dtype):
     """DenseNet trunk + narrow prediction conv, fused or naive (identical
-    math and param tree; explicit names keep the trees aligned)."""
+    math and param tree; explicit names keep the trees aligned). ``x0`` may
+    be a LIST of components in fused mode (e.g. the dilated cost volumes +
+    features) — consumed in place without an input concat."""
     if fused:
-        pred_kb = _ConvMirror(out_ch, x0.shape[-1] + sum(est_channels),
+        comps = list(x0) if isinstance(x0, (list, tuple)) else [x0]
+        total_ch = sum(c.shape[-1] for c in comps)
+        pred_kb = _ConvMirror(out_ch, total_ch + sum(est_channels),
                               name="Conv_0")()
         x, (pred,) = FusedDenseEstimator(
             tuple(est_channels), dtype=dtype, name="DenseEstimator_0"
-        )(x0, (pred_kb,))
+        )(comps, (pred_kb,))
     else:
+        if isinstance(x0, (list, tuple)):
+            x0 = jnp.concatenate(list(x0), axis=-1)
         x = DenseEstimator(
             tuple(est_channels), dtype=dtype, name="DenseEstimator_0"
         )(x0)
@@ -80,8 +86,9 @@ class DCVFlowDecoder(nn.Module):
             )
             for r in self.dilations
         ]
-        x0 = jnp.concatenate(volumes + [f1], axis=-1)
-        x, flow = _estimate(x0, self.est_channels, 2, self.fused, self.dtype)
+        x, flow = _estimate(
+            volumes + [f1], self.est_channels, 2, self.fused, self.dtype
+        )
         flow = flow + ContextNetwork(2, tuple(self.ctx_channels), dtype=self.dtype)(x)
         # full resolution: x2 per level with value scaling
         full = flow
@@ -148,8 +155,9 @@ class DCVStereoDecoder(nn.Module):
             )
             for r in self.dilations
         ]
-        x0 = jnp.concatenate(volumes + [f1], axis=-1)
-        x, disp = _estimate(x0, self.est_channels, 1, self.fused, self.dtype)
+        x, disp = _estimate(
+            volumes + [f1], self.est_channels, 1, self.fused, self.dtype
+        )
         disp = disp + ContextNetwork(1, tuple(self.ctx_channels), dtype=self.dtype)(x)
         full = disp
         for _ in range(self.level):

@@ -69,18 +69,21 @@ class DisparityDecoder(nn.Module):
                     f1, f2w, max_disp=self.level_max_disp(l), impl=self.corr_impl
                 )
             )
-            x0 = jnp.concatenate([cost, f1] + inputs, axis=-1)
             # explicit child names keep fused/unfused param trees identical
             if self.fused:
+                # cost volume consumed in place (see flow.py note)
+                comps = [cost, jnp.concatenate([f1] + inputs, axis=-1)]
+                total_ch = sum(c.shape[-1] for c in comps)
                 pred_kb = _ConvMirror(
-                    1, x0.shape[-1] + sum(self.est_channels), name=f"Conv_{i}"
+                    1, total_ch + sum(self.est_channels), name=f"Conv_{i}"
                 )()
                 x, (disp,) = FusedDenseEstimator(
                     tuple(self.est_channels),
                     dtype=self.dtype,
                     name=f"DenseEstimator_{i}",
-                )(x0, (pred_kb,))
+                )(comps, (pred_kb,))
             else:
+                x0 = jnp.concatenate([cost, f1] + inputs, axis=-1)
                 x = DenseEstimator(
                     tuple(self.est_channels),
                     dtype=self.dtype,

@@ -69,18 +69,23 @@ class FlowDecoder(nn.Module):
             cost = leaky(
                 correlation2d(f1, f2w, max_disp=self.max_disp, impl=self.corr_impl)
             )
-            x0 = jnp.concatenate([cost, f1] + inputs, axis=-1)
             # explicit child names keep fused/unfused param trees identical
             if self.fused:
+                # the 81-ch cost volume stays a separate component — the
+                # fused estimator consumes it in place, skipping one full
+                # input-concat copy per level
+                comps = [cost, jnp.concatenate([f1] + inputs, axis=-1)]
+                total_ch = sum(c.shape[-1] for c in comps)
                 pred_kb = _ConvMirror(
-                    2, x0.shape[-1] + sum(self.est_channels), name=f"Conv_{i}"
+                    2, total_ch + sum(self.est_channels), name=f"Conv_{i}"
                 )()
                 x, (flow,) = FusedDenseEstimator(
                     tuple(self.est_channels),
                     dtype=self.dtype,
                     name=f"DenseEstimator_{i}",
-                )(x0, (pred_kb,))
+                )(comps, (pred_kb,))
             else:
+                x0 = jnp.concatenate([cost, f1] + inputs, axis=-1)
                 x = DenseEstimator(
                     tuple(self.est_channels),
                     dtype=self.dtype,
