@@ -165,13 +165,17 @@ def bench_train_step(batch=2, hw=(512, 1024), iters=5):
             (params, opt_state), _ = step((params, opt_state), jnp.float32(i))
         return jax.tree.leaves(params)[0].astype(jnp.float32).mean()
 
-    from cerberusnet_tpu.utils.benchutil import roundtrip_floor
+    from cerberusnet_tpu.utils.benchutil import per_iter_seconds, roundtrip_floor
 
     float(run(variables["params"], opt_state))  # compile + warmup
     floor = roundtrip_floor()
-    t0 = time.time()
-    float(run(variables["params"], opt_state))
-    sec = max(time.time() - t0 - floor, 1e-9) / iters
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        float(run(variables["params"], opt_state))
+        best = min(best, time.time() - t0)
+    # raises FloorLimitedTiming rather than recording garbage (VERDICT W2)
+    sec = per_iter_seconds(best, floor, iters)
     return batch / sec  # training frames/sec/chip
 
 
@@ -206,7 +210,7 @@ def main():
     if args.all:
         subbenches = {
             # seg is fast enough that 10 iters sit at the dispatch+fetch
-            # floor (subtraction then yields garbage); use many more.
+            # floor; start high — time_fn auto-scales further if needed.
             "seg_fp32_fps": lambda: bench_head(
                 "seg", batch=1, iters=max(args.iters * 10, 100), dtype=jnp.float32
             ),
@@ -229,6 +233,7 @@ def main():
             except Exception as e:  # record, keep going, never lose the run
                 print(f"[bench] {name} failed: {e}", file=sys.stderr)
                 details[name] = None
+                details[f"{name}_error"] = str(e)  # flagged, not silent
         with open("BENCH_details.json", "w") as f:
             json.dump(details, f, indent=2)
 

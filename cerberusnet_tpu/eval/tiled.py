@@ -17,9 +17,29 @@ translation-invariant, so tile-local predictions stitch directly.
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# jit wrappers cached per forward-fn so a val-split loop pays the trace/
+# compile once, not per batch (ADVICE r1). Weak keys: dropping the forward
+# drops its executable.
+_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _jitted(forward):
+    if isinstance(forward, jax.stages.Wrapped):
+        return forward  # caller already jitted it
+    try:
+        cached = _JIT_CACHE.get(forward)
+        if cached is None:
+            cached = jax.jit(forward)
+            _JIT_CACHE[forward] = cached
+        return cached
+    except TypeError:  # not weakref-able (e.g. some callables) — no cache
+        return jax.jit(forward)
 
 
 def _starts(full: int, tile: int, stride: int):
@@ -40,7 +60,9 @@ def _tri_window(n: int):
 def tiled_forward(forward, variables, batch, tile_hw, overlap: float = 0.25):
     """Run ``forward`` over overlapping tiles and blend.
 
-    forward: trainer-style ``forward(variables, batch) -> outputs dict``
+    forward: trainer-style ``forward(variables, batch) -> outputs dict``;
+             may already be jax.jit-wrapped (used as-is), otherwise it is
+             jitted once and cached across calls per function object
     batch:   dict of (B, H, W, 3) inputs (left / right / temporal ...)
     tile_hw: (th, tw) window fed to the model (its compile shape)
     overlap: fraction of the tile shared between neighbours (0..0.9)
@@ -56,7 +78,7 @@ def tiled_forward(forward, variables, batch, tile_hw, overlap: float = 0.25):
     wx = _tri_window(min(tw, w))
     wmask = jnp.asarray(np.outer(wy, wx))[None, :, :, None]  # (1, th, tw, 1)
 
-    jit_forward = jax.jit(forward)
+    jit_forward = _jitted(forward)
     total: dict = {}
     weight = jnp.zeros((1, h, w, 1), jnp.float32)
     for y0 in _starts(h, th, sy):

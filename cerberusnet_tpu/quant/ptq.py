@@ -197,6 +197,25 @@ def _canon2(v):
     return tuple(v)
 
 
+def _unsupported_conv_attrs(mod: nn.Conv):
+    """nn.Conv features _int8_conv does NOT forward to conv_general_dilated.
+
+    Executing such a conv quantized would silently change semantics
+    (ADVICE r1), so the interceptor falls through to the float path for
+    these instead.
+    """
+    reasons = []
+    if _canon2(mod.input_dilation) != (1, 1):
+        reasons.append(f"input_dilation={mod.input_dilation}")
+    if mod.mask is not None:
+        reasons.append("mask")
+    if not isinstance(mod.padding, str) and mod.padding is not None:
+        # explicit ((lo, hi), ...) padding is representable, but keep the
+        # guard conservative: only the string modes are golden-tested.
+        reasons.append(f"padding={mod.padding!r}")
+    return reasons
+
+
 def _int8_conv(mod: nn.Conv, x, q, simulate: bool):
     """Execute a flax Conv as int8 x int8 -> int32 with f32 epilogue.
 
@@ -239,6 +258,8 @@ def _make_quant_interceptor(simulate: bool):
         if isinstance(mod, nn.Conv) and context.method_name == "__call__":
             qvars = mod.variables.get(QUANT_COLLECTION)
             if qvars and "kernel_q" in qvars:
+                if _unsupported_conv_attrs(mod):
+                    return next_fun(*args, **kwargs)  # float fallback
                 return _int8_conv(mod, args[0], qvars, simulate)
         return next_fun(*args, **kwargs)
 

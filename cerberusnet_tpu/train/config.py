@@ -114,6 +114,10 @@ class TrainConfig:
     # max_nan_recoveries). Costs one host sync per step — off by default.
     recover_on_nan: bool = False
     max_nan_recoveries: int = 3
+    # Successful steps after which the recovery counter resets — so a few
+    # transient NaNs spread over a long run don't accumulate to an abort
+    # (ADVICE r1). 0 disables the reset.
+    nan_recovery_reset_steps: int = 200
     num_data_devices: int = 0  # 0 = all visible devices
     num_spatial_devices: int = 1
     remat: bool = False  # jax.checkpoint the forward (HBM <-> FLOPs trade)

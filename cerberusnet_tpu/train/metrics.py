@@ -117,22 +117,40 @@ class MetricState:
         )
 
     def update(self, outputs, batch, ignore_index: int = 255):
+        """Accumulate one batch. ``batch["_sample_mask"]`` ((B,) float,
+        1=real / 0=padding) excludes pad samples appended by
+        data.loader.pad_batch for the final partial eval batch."""
         new = self
+        smask = batch.get("_sample_mask")
         if "seg_labels" in batch and "seg_logits" in outputs:
             pred = jnp.argmax(outputs["seg_logits"], axis=-1)
+            labels = batch["seg_labels"]
+            if smask is not None:
+                labels = jnp.where(
+                    smask[:, None, None] > 0, labels, ignore_index
+                )
             cm = confusion_matrix(
-                pred, batch["seg_labels"], self.confusion.shape[0], ignore_index
+                pred, labels, self.confusion.shape[0], ignore_index
             )
             new = new.replace(confusion=new.confusion + cm)
         if "flow_gt" in batch and "flow" in outputs:
-            s = flow_error_sums(
-                outputs["flow"], batch["flow_gt"], batch.get("flow_valid")
+            valid = batch.get(
+                "flow_valid", jnp.ones(batch["flow_gt"].shape[:3], jnp.float32)
             )
+            if smask is not None:
+                valid = valid * smask[:, None, None]
+            s = flow_error_sums(outputs["flow"], batch["flow_gt"], valid)
             new = new.replace(flow_sums=new.flow_sums + jnp.stack(s))
         if "disp_gt" in batch and "disp" in outputs:
-            s = disparity_error_sums(
-                outputs["disp"], batch["disp_gt"], batch.get("disp_valid")
-            )
+            gt = batch["disp_gt"]
+            valid = batch.get("disp_valid")
+            if valid is None:
+                valid = (
+                    (gt[..., 0] if gt.ndim == 4 else gt) > 0
+                ).astype(jnp.float32)
+            if smask is not None:
+                valid = valid * smask[:, None, None]
+            s = disparity_error_sums(outputs["disp"], gt, valid)
             new = new.replace(disp_sums=new.disp_sums + jnp.stack(s))
         return new
 

@@ -39,7 +39,41 @@ def roundtrip_floor(repeats: int = 3) -> float:
     return best
 
 
-def time_fn(fn, args, iters: int = 10, reduce_out=None, repeats: int = 2):
+class FloorLimitedTiming(RuntimeError):
+    """The measured wall time is indistinguishable from the dispatch+fetch
+    floor — a per-iteration number derived from it would be garbage (this is
+    how round 1 recorded a 1e10 fps; VERDICT W2). Carry the facts so callers
+    can retry with more iterations or record a flagged failure."""
+
+    def __init__(self, best: float, floor: float, iters: int):
+        self.best, self.floor, self.iters = best, floor, iters
+        super().__init__(
+            f"floor-limited timing: best={best * 1e3:.3f} ms vs "
+            f"floor={floor * 1e3:.3f} ms at iters={iters} — increase iters"
+        )
+
+
+def per_iter_seconds(
+    best: float, floor: float, iters: int, min_ratio: float = 1.0
+) -> float:
+    """best-of-N wall seconds -> honest seconds/iteration, or raise
+    FloorLimitedTiming when the measurement is dominated by the round-trip
+    floor (work <= min_ratio x floor)."""
+    elapsed = best - floor
+    if elapsed <= min_ratio * floor:
+        raise FloorLimitedTiming(best, floor, iters)
+    return elapsed / iters
+
+
+def time_fn(
+    fn,
+    args,
+    iters: int = 10,
+    reduce_out=None,
+    repeats: int = 2,
+    min_ratio: float = 1.0,
+    max_iters: int = 1280,
+):
     """Seconds per iteration of fn(*args), honestly measured.
 
     Builds a jitted program that chains `iters` calls of fn (each iteration's
@@ -47,27 +81,43 @@ def time_fn(fn, args, iters: int = 10, reduce_out=None, repeats: int = 2):
     reduces each output to a scalar via `reduce_out` (default: mean of the
     first/only output), fetches the final scalar, and subtracts the
     dispatch+fetch floor.
+
+    Floor guard (VERDICT r1 W2): if the total measured work is within
+    ``min_ratio`` of the round-trip floor, the unroll count is automatically
+    scaled up (x4, re-compiling) until the work dominates or ``max_iters``
+    is hit; a measurement that is STILL floor-limited raises
+    FloorLimitedTiming instead of returning a clamped nonsense value.
     """
     if reduce_out is None:
         def reduce_out(out):
             leaf = jax.tree.leaves(out)[0]
             return leaf.astype(jnp.float32).mean()
 
-    @jax.jit
-    def run(x0, *rest):
-        acc = jnp.float32(0)
-        x = x0
-        for _ in range(iters):
-            out = fn(x, *rest)
-            acc = acc + reduce_out(out).astype(jnp.float32)
-            x = x0 + (acc * 1e-20).astype(x0.dtype)
-        return acc
+    def build(n):
+        @jax.jit
+        def run(x0, *rest):
+            acc = jnp.float32(0)
+            x = x0
+            for _ in range(n):
+                out = fn(x, *rest)
+                acc = acc + reduce_out(out).astype(jnp.float32)
+                x = x0 + (acc * 1e-20).astype(x0.dtype)
+            return acc
 
-    _fetch(run(*args))  # compile + warmup
-    floor = roundtrip_floor()
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.time()
-        _fetch(run(*args))
-        best = min(best, time.time() - t0)
-    return max(best - floor, 1e-9) / iters
+        return run
+
+    while True:
+        run = build(iters)
+        _fetch(run(*args))  # compile + warmup
+        floor = roundtrip_floor()
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            _fetch(run(*args))
+            best = min(best, time.time() - t0)
+        try:
+            return per_iter_seconds(best, floor, iters, min_ratio)
+        except FloorLimitedTiming:
+            if iters >= max_iters:
+                raise
+            iters = min(iters * 4, max_iters)

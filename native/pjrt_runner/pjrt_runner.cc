@@ -10,9 +10,10 @@
 // host; any conforming plugin elsewhere), executes it, and reports timing.
 //
 // Usage:
-//   pjrt_runner --plugin /path/libtpu.so --model <export_dir> \
-//               [--iters 10] [--opt key=value ...] \
+//   pjrt_runner --plugin /path/libtpu.so --model <export_dir>
+//               [--iters 10] [--opt key=value ...]
 //               [--inputs a.bin,b.bin,...] [--dump-outputs DIR]
+//               [--cache DIR]
 //
 // --opt values: integers are passed as PJRT int64 named values, everything
 // else as strings (matches how jax passes plugin options).
@@ -22,6 +23,13 @@
 // --dump-outputs: write each output as DIR/output_<i>.bin plus
 //   DIR/outputs.json ({shape, dtype} per output) — the full C++ inference
 //   path: load artifact -> compile -> feed tensors -> collect predictions.
+// --cache: serialized-executable cache directory (the TensorRT
+//   serialized-engine analogue, SURVEY.md §4.3 "build fp16 engine ->
+//   serialize"). First run compiles and writes
+//   DIR/<hash(platform,mlir,opts)>.pjrt_exec; later runs
+//   PJRT_Executable_DeserializeAndLoad it and skip compilation entirely.
+//   Falls back to a fresh compile (and rewrites the cache) if the blob
+//   fails to load (e.g. plugin version changed).
 //
 // Build: see Makefile (headers vendored from the XLA pjrt_c_api.h contract).
 
@@ -99,6 +107,15 @@ PJRT_Buffer_Type DtypeToPjrt(const std::string& dtype, size_t* itemsize) {
   Die("unsupported dtype " + dtype);
 }
 
+// FNV-1a 64-bit — cache key over (platform id + program + compile options).
+uint64_t Fnv1a(const std::string& data, uint64_t h = 1469598103934665603ull) {
+  for (unsigned char c : data) {
+    h ^= c;
+    h *= 1099511628211ull;
+  }
+  return h;
+}
+
 const PJRT_Api* g_api = nullptr;
 
 void Check(PJRT_Error* err, const char* what) {
@@ -117,10 +134,29 @@ void Check(PJRT_Error* err, const char* what) {
   Die(std::string(what) + ": " + msg);
 }
 
+// Like Check, but non-fatal: logs and returns false on error (used for the
+// executable-cache load, which falls back to a fresh compile).
+bool TryCheck(PJRT_Error* err, const char* what) {
+  if (err == nullptr) return true;
+  PJRT_Error_Message_Args margs;
+  margs.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
+  margs.extension_start = nullptr;
+  margs.error = err;
+  g_api->PJRT_Error_Message(&margs);
+  std::fprintf(stderr, "[pjrt_runner] %s: %.*s (falling back)\n", what,
+               static_cast<int>(margs.message_size), margs.message);
+  PJRT_Error_Destroy_Args dargs;
+  dargs.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+  dargs.extension_start = nullptr;
+  dargs.error = err;
+  g_api->PJRT_Error_Destroy(&dargs);
+  return false;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
-  std::string plugin_path, model_path, inputs_arg, dump_dir;
+  std::string plugin_path, model_path, inputs_arg, dump_dir, cache_dir;
   int iters = 10;
   std::vector<std::pair<std::string, std::string>> opts;
   for (int i = 1; i < argc; ++i) {
@@ -134,6 +170,7 @@ int main(int argc, char** argv) {
     else if (a == "--iters") iters = std::stoi(next());
     else if (a == "--inputs") inputs_arg = next();
     else if (a == "--dump-outputs") dump_dir = next();
+    else if (a == "--cache") cache_dir = next();
     else if (a == "--opt") {
       std::string kv = next();
       size_t eq = kv.find('=');
@@ -144,7 +181,7 @@ int main(int argc, char** argv) {
   if (plugin_path.empty() || model_path.empty())
     Die("usage: pjrt_runner --plugin <pjrt_plugin.so> --model <export_dir> "
         "[--iters N] [--opt k=v ...] [--inputs a.bin,...] "
-        "[--dump-outputs DIR]");
+        "[--dump-outputs DIR] [--cache DIR]");
   std::vector<std::string> input_files;
   if (!inputs_arg.empty()) {
     std::stringstream ss(inputs_arg);
@@ -219,14 +256,78 @@ int main(int argc, char** argv) {
   std::fprintf(stderr, "[pjrt_runner] %zu addressable device(s)\n",
                dev_args.num_addressable_devices);
 
-  // ---- compile ----
+  // ---- compile (or load from the serialized-executable cache) ----
   std::string mlir = ReadFile(model_path + "/model.mlir");
   std::string manifest = ReadFile(model_path + "/manifest.json");
   std::vector<Shape> in_shapes = ParseManifestInputs(manifest);
 
-  PJRT_LoadedExecutable* exec = nullptr;
-  auto t_compile0 = std::chrono::steady_clock::now();
+  // Serialized xla.CompileOptionsProto (exported alongside the model by
+  // cerberusnet_tpu.export; empty options would default to 0 replicas).
+  std::string copts;
   {
+    std::ifstream f(model_path + "/compile_options.pb", std::ios::binary);
+    if (f) {
+      std::ostringstream ss;
+      ss << f.rdbuf();
+      copts = ss.str();
+    }
+  }
+
+  std::string cache_path;
+  if (!cache_dir.empty()) {
+    // Key the cache on platform identity + program + options: the PJRT
+    // serialization format is platform-specific and not stable over time.
+    std::string platform;
+    {
+      PJRT_Client_PlatformName_Args args;
+      std::memset(&args, 0, sizeof(args));
+      args.struct_size = PJRT_Client_PlatformName_Args_STRUCT_SIZE;
+      args.client = client;
+      Check(g_api->PJRT_Client_PlatformName(&args), "PlatformName");
+      platform.assign(args.platform_name, args.platform_name_size);
+    }
+    {
+      PJRT_Client_PlatformVersion_Args args;
+      std::memset(&args, 0, sizeof(args));
+      args.struct_size = PJRT_Client_PlatformVersion_Args_STRUCT_SIZE;
+      args.client = client;
+      Check(g_api->PJRT_Client_PlatformVersion(&args), "PlatformVersion");
+      platform.append("/");
+      platform.append(args.platform_version, args.platform_version_size);
+    }
+    uint64_t key = Fnv1a(copts, Fnv1a(mlir, Fnv1a(platform)));
+    char hex[17];
+    std::snprintf(hex, sizeof(hex), "%016llx",
+                  static_cast<unsigned long long>(key));
+    mkdir(cache_dir.c_str(), 0755);
+    cache_path = cache_dir + "/" + hex + ".pjrt_exec";
+  }
+
+  PJRT_LoadedExecutable* exec = nullptr;
+  bool cached = false;
+  auto t_compile0 = std::chrono::steady_clock::now();
+  if (!cache_path.empty()) {
+    std::ifstream f(cache_path, std::ios::binary);
+    if (f) {
+      std::ostringstream ss;
+      ss << f.rdbuf();
+      std::string blob = ss.str();
+      PJRT_Executable_DeserializeAndLoad_Args args;
+      std::memset(&args, 0, sizeof(args));
+      args.struct_size = PJRT_Executable_DeserializeAndLoad_Args_STRUCT_SIZE;
+      args.client = client;
+      args.serialized_executable = blob.data();
+      args.serialized_executable_size = blob.size();
+      if (TryCheck(g_api->PJRT_Executable_DeserializeAndLoad(&args),
+                   "DeserializeAndLoad")) {
+        exec = args.loaded_executable;
+        cached = true;
+        std::fprintf(stderr, "[pjrt_runner] loaded cached executable %s\n",
+                     cache_path.c_str());
+      }
+    }
+  }
+  if (exec == nullptr) {
     PJRT_Program program;
     std::memset(&program, 0, sizeof(program));
     program.struct_size = PJRT_Program_STRUCT_SIZE;
@@ -235,18 +336,6 @@ int main(int argc, char** argv) {
     static const char kFormat[] = "mlir";
     program.format = kFormat;
     program.format_size = sizeof(kFormat) - 1;
-
-    // Serialized xla.CompileOptionsProto (exported alongside the model by
-    // cerberusnet_tpu.export; empty options would default to 0 replicas).
-    std::string copts;
-    {
-      std::ifstream f(model_path + "/compile_options.pb", std::ios::binary);
-      if (f) {
-        std::ostringstream ss;
-        ss << f.rdbuf();
-        copts = ss.str();
-      }
-    }
     PJRT_Client_Compile_Args args;
     std::memset(&args, 0, sizeof(args));
     args.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
@@ -325,6 +414,32 @@ int main(int argc, char** argv) {
     Check(g_api->PJRT_LoadedExecutable_GetExecutable(&args), "GetExecutable");
     plain_exec = args.executable;
   }
+  // ---- populate the executable cache (TRT serialize-engine analogue) ----
+  if (!cached && !cache_path.empty()) {
+    PJRT_Executable_Serialize_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Executable_Serialize_Args_STRUCT_SIZE;
+    args.executable = plain_exec;
+    if (TryCheck(g_api->PJRT_Executable_Serialize(&args),
+                 "Executable_Serialize")) {
+      std::string tmp = cache_path + ".tmp";
+      std::ofstream f(tmp, std::ios::binary);
+      if (f) {
+        f.write(args.serialized_bytes,
+                static_cast<std::streamsize>(args.serialized_bytes_size));
+        f.close();
+        if (std::rename(tmp.c_str(), cache_path.c_str()) == 0)
+          std::fprintf(stderr,
+                       "[pjrt_runner] cached executable (%zu bytes) -> %s\n",
+                       args.serialized_bytes_size, cache_path.c_str());
+        else
+          std::remove(tmp.c_str());
+      }
+      if (args.serialized_executable_deleter)
+        args.serialized_executable_deleter(args.serialized_executable);
+    }
+  }
+
   size_t num_outputs = 0;
   {
     PJRT_Executable_NumOutputs_Args args;
@@ -490,7 +605,8 @@ int main(int argc, char** argv) {
 
   std::printf(
       "{\"compile_ms\": %.1f, \"avg_exec_ms\": %.3f, \"iters\": %d, "
-      "\"num_outputs\": %zu}\n",
-      compile_ms, total_ms / iters, iters, num_outputs);
+      "\"num_outputs\": %zu, \"cached\": %s}\n",
+      compile_ms, total_ms / iters, iters, num_outputs,
+      cached ? "true" : "false");
   return 0;
 }

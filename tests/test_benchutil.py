@@ -1,9 +1,16 @@
-"""benchutil sanity (CPU): honest timing utilities."""
+"""benchutil sanity (CPU): honest timing utilities + the floor-limited
+guard (VERDICT r1 W2: a floor-clamped reading once recorded 1e10 fps)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from cerberusnet_tpu.utils.benchutil import roundtrip_floor, time_fn
+from cerberusnet_tpu.utils.benchutil import (
+    FloorLimitedTiming,
+    per_iter_seconds,
+    roundtrip_floor,
+    time_fn,
+)
 
 
 class TestBenchutil:
@@ -15,3 +22,57 @@ class TestBenchutil:
         x = jnp.ones((64, 64), jnp.float32)
         t = time_fn(lambda a: jnp.tanh(a @ a), (x,), iters=5)
         assert 0 < t < 1.0
+
+
+class TestFloorGuard:
+    def test_per_iter_raises_when_floor_limited(self):
+        # work (1 ms) indistinguishable from floor (100 ms): refuse
+        with pytest.raises(FloorLimitedTiming):
+            per_iter_seconds(best=0.101, floor=0.100, iters=10)
+
+    def test_per_iter_raises_on_negative_elapsed(self):
+        # best < floor (the exact round-1 degenerate case): refuse, never
+        # clamp to 1e-9 s
+        with pytest.raises(FloorLimitedTiming):
+            per_iter_seconds(best=0.05, floor=0.100, iters=10)
+
+    def test_per_iter_ok_when_work_dominates(self):
+        sec = per_iter_seconds(best=1.1, floor=0.1, iters=10)
+        assert sec == pytest.approx(0.1)
+
+    def test_exception_carries_details(self):
+        with pytest.raises(FloorLimitedTiming) as ei:
+            per_iter_seconds(best=0.10, floor=0.09, iters=7)
+        e = ei.value
+        assert e.iters == 7 and e.floor == 0.09 and e.best == 0.10
+        assert "floor-limited" in str(e)
+
+    def test_time_fn_autoscales_iters(self, monkeypatch):
+        """A too-fast op with an artificially high floor must scale its
+        unroll count up instead of returning garbage."""
+        import cerberusnet_tpu.utils.benchutil as bu
+
+        calls = {"n": 0}
+        real_floor = roundtrip_floor()
+
+        def fake_floor(repeats=3):
+            calls["n"] += 1
+            # first measurement round sees a floor far above the tiny
+            # workload, later rounds the true floor -> forces one rescale
+            return real_floor + (0.05 if calls["n"] == 1 else 0.0)
+
+        monkeypatch.setattr(bu, "roundtrip_floor", fake_floor)
+        x = jnp.ones((128, 128), jnp.float32)
+        t = bu.time_fn(lambda a: jnp.tanh(a @ a), (x,), iters=2, max_iters=512)
+        assert 0 < t < 1.0
+        assert calls["n"] >= 2  # rescaled at least once
+
+    def test_time_fn_raises_at_max_iters(self, monkeypatch):
+        """If even max_iters can't beat the floor, time_fn must raise, not
+        clamp (this is the 1e10-fps regression test)."""
+        import cerberusnet_tpu.utils.benchutil as bu
+
+        monkeypatch.setattr(bu, "roundtrip_floor", lambda repeats=3: 1e6)
+        x = jnp.ones((8, 8), jnp.float32)
+        with pytest.raises(FloorLimitedTiming):
+            bu.time_fn(lambda a: a + 1, (x,), iters=1, max_iters=4)

@@ -119,6 +119,31 @@ class TestQuantizedApply:
             np.asarray(out_i), np.asarray(out_s), rtol=1e-4, atol=1e-4
         )
 
+    def test_unsupported_conv_attrs_fall_back_to_float(self):
+        """A calibrated Conv using features _int8_conv does not forward
+        (a kernel mask here) must execute on the FLOAT path — bit-identical
+        to the unquantized model — instead of silently dropping the
+        attribute under quantization (ADVICE r1)."""
+
+        class MaskedNet(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                mask = jnp.ones((3, 3, 3, 8)).at[0, 0].set(0.0)
+                return nn.Conv(
+                    8, (3, 3), padding="SAME", mask=mask, name="c"
+                )(x)
+
+        model = MaskedNet()
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (1, 16, 16, 3), jnp.float32)
+        variables = jax.jit(model.init)(key, x)
+        scales = calibrate(model, variables, [(x,)])
+        qv = quantize(variables, scales)
+        assert "c" in qv[QUANT_COLLECTION]  # calibrated...
+        ref = jax.jit(model.apply)(variables, x)
+        out = jax.jit(lambda v, x: quantized_apply(model, v, x))(qv, x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
     def test_quantization_error_report(self, tiny):
         model, variables, x = tiny
         scales = calibrate(model, variables, [(x,)])

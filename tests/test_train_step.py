@@ -79,6 +79,28 @@ class TestTrainStep:
         for key in ("miou", "flow_epe", "disp_mae"):
             assert key in out and np.isfinite(out[key])
 
+    def test_evaluate_counts_every_sample_with_partial_tail(self):
+        """len(dataset) % batch_size != 0: the final partial batch must be
+        padded-and-masked, not dropped — the accumulated flow pixel count
+        equals dataset_size x H x W exactly (VERDICT r1 W5)."""
+        cfg = tiny_config()
+        cfg.data.synthetic_length = 5  # batch 2 -> batches of 2, 2, 1
+        t = Trainer(cfg)
+
+        from cerberusnet_tpu.train.metrics import MetricState
+
+        loader = t._eval_loader(None)
+        assert len(loader) == 3
+        metrics = MetricState.zeros(cfg.model.num_classes)
+        for batch in loader:
+            batch = t._prep_eval_batch(batch)
+            metrics = t._eval_step(t.state, metrics, batch)
+        h, w = cfg.data.hw
+        # synthetic flow_valid is all-ones -> count == 5 * H * W, not 4 * H * W
+        assert float(metrics.flow_sums[2]) == 5 * h * w
+        out = metrics.compute()
+        assert np.isfinite(out["flow_epe"])
+
 
 class TestCheckpointing:
     def test_save_and_resume(self, tmp_path):

@@ -43,9 +43,10 @@ class TestInverseTransforms:
         np.testing.assert_allclose(np.asarray(out["flow"][..., 0]), 0.0, atol=1e-5)
         np.testing.assert_allclose(np.asarray(out["flow"][..., 1]), 5.0, atol=1e-5)
 
-    def test_flip_swaps_stereo_pair(self):
-        """The mirrored pass must feed (mirror(right), mirror(left)) — the
-        mirrored left camera IS the right camera."""
+    def test_flip_skips_disp_by_default(self):
+        """disp_flip='skip' (default): a disp-only model gets NO mirrored
+        pass — a mirrored pair without a view swap is geometrically invalid,
+        and with a swap it's only a right-view approximation (ADVICE r1)."""
         seen = []
 
         def forward(variables, batch):
@@ -54,10 +55,76 @@ class TestInverseTransforms:
 
         b = _batch()
         out = tta_forward(forward, {}, b, scales=(1.0,), flip=True)
+        assert len(seen) == 1  # identity pass only
+        np.testing.assert_allclose(np.asarray(out["disp"]), 2.0, atol=1e-5)
+
+    def test_flip_swap_optin_swaps_stereo_pair(self):
+        """disp_flip='swap': the mirrored disparity pass feeds
+        (mirror(right), mirror(left)) — the mirrored right camera acts as the
+        left camera of the mirrored scene."""
+        seen = []
+
+        def forward(variables, batch):
+            seen.append((np.asarray(batch["left"]), np.asarray(batch["right"])))
+            return {"disp": batch["left"][..., :1] * 0 + 2.0}
+
+        b = _batch()
+        out = tta_forward(forward, {}, b, scales=(1.0,), flip=True,
+                          disp_flip="swap")
         assert len(seen) == 2
         np.testing.assert_allclose(seen[1][0], np.asarray(b["right"][:, :, ::-1]))
         np.testing.assert_allclose(seen[1][1], np.asarray(b["left"][:, :, ::-1]))
         np.testing.assert_allclose(np.asarray(out["disp"]), 2.0, atol=1e-5)
+
+    def test_joint_model_flip_anchors_per_task(self):
+        """Joint model with flip: the seg/flow mirrored pass must NOT swap
+        the stereo pair (left-anchored tasks see mirror(left)), and by
+        default disparity averages over the identity pass only (ADVICE r1
+        fix: no right-anchored predictions mixed into left-anchored ones)."""
+        seen = []
+
+        def forward(variables, batch):
+            seen.append({k: np.asarray(v) for k, v in batch.items()})
+            x = batch["left"]
+            return {
+                "seg_logits": x, "flow": x[..., :2],
+                "disp": x[..., :1] * 0 + 4.0,
+            }
+
+        b = _batch()
+        out = tta_forward(forward, {}, b, scales=(1.0,), flip=True)
+        assert len(seen) == 2
+        # Mirrored pass: left stays left (no swap), everything mirrored.
+        np.testing.assert_allclose(seen[1]["left"], np.asarray(b["left"][:, :, ::-1]))
+        np.testing.assert_allclose(seen[1]["right"], np.asarray(b["right"][:, :, ::-1]))
+        np.testing.assert_allclose(seen[1]["temporal"],
+                                   np.asarray(b["temporal"][:, :, ::-1]))
+        # seg averaged over identity + mirrored (identity-model ⇒ mean of
+        # x and unflip(mirror(x)) == x).
+        np.testing.assert_allclose(np.asarray(out["seg_logits"]),
+                                   np.asarray(b["left"]), rtol=1e-5)
+        # disp untouched by the mirrored pass.
+        np.testing.assert_allclose(np.asarray(out["disp"]), 4.0, atol=1e-5)
+
+    def test_joint_model_flip_swap_runs_three_passes(self):
+        """Joint + flip + disp_flip='swap': identity, noswap-mirror
+        (seg/flow), swap-mirror (disp) — per-key averaging counts stay
+        consistent."""
+        seen = []
+
+        def forward(variables, batch):
+            seen.append({k: np.asarray(v) for k, v in batch.items()})
+            x = batch["left"]
+            return {"seg_logits": x * 0 + 1.0, "flow": x[..., :2] * 0,
+                    "disp": x[..., :1] * 0 + 3.0}
+
+        b = _batch()
+        out = tta_forward(forward, {}, b, scales=(1.0,), flip=True,
+                          disp_flip="swap")
+        assert len(seen) == 3
+        np.testing.assert_allclose(seen[2]["left"], np.asarray(b["right"][:, :, ::-1]))
+        np.testing.assert_allclose(np.asarray(out["seg_logits"]), 1.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["disp"]), 3.0, atol=1e-5)
 
     def test_scale_rescales_flow_values(self):
         """At scale 0.5 a model predicting constant flow (4, 2) in its own

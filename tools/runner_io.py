@@ -55,22 +55,11 @@ def read_outputs(dump_dir: str):
     ]
 
 
-def verify(export_dir: str, plugin: str, runner: str, seed: int = 0,
-           rtol: float = 2e-2, atol: float = 2e-2) -> bool:
-    """Random-input equivalence: C++ PJRT runner vs jax.export reference."""
-    with open(os.path.join(export_dir, "manifest.json")) as f:
-        manifest = json.load(f)
-    rng = np.random.RandomState(seed)
-    tmp = os.path.join(export_dir, "_verify")
-    os.makedirs(tmp, exist_ok=True)
-    paths, arrays = [], []
-    for i, spec in enumerate(manifest["inputs"]):
-        a = rng.rand(*spec["shape"]).astype(np.float32)
-        arrays.append(a)
-        paths.append(write_bin(os.path.join(tmp, f"in_{i}.bin"), a, spec["dtype"]))
-
+def _run_native(export_dir, plugin, runner, paths, tmp, cache: str = ""):
     cmd = [runner, "--plugin", plugin, "--model", export_dir, "--iters", "1",
            "--inputs", ",".join(paths), "--dump-outputs", tmp]
+    if cache:
+        cmd += ["--cache", cache]
     env = dict(os.environ)
     if "axon" in os.path.basename(plugin):
         # required axon-plugin client options + tunnel env (runner README)
@@ -87,8 +76,50 @@ def verify(export_dir: str, plugin: str, runner: str, seed: int = 0,
         print(out.stderr, file=sys.stderr)
         raise RuntimeError(f"runner failed ({out.returncode})")
     print(out.stdout.strip())
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
+
+def verify(export_dir: str, plugin: str, runner: str, seed: int = 0,
+           rtol: float = 2e-2, atol: float = 2e-2,
+           check_cache: bool = False) -> bool:
+    """Random-input equivalence: C++ PJRT runner vs jax.export reference.
+
+    check_cache=True additionally runs the runner twice with a serialized-
+    executable cache dir (cold populate, then warm load) and verifies the
+    cached run is flagged cached, skips compilation, and produces
+    bit-identical outputs to the compiled run.
+    """
+    with open(os.path.join(export_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    rng = np.random.RandomState(seed)
+    tmp = os.path.join(export_dir, "_verify")
+    os.makedirs(tmp, exist_ok=True)
+    paths, arrays = [], []
+    for i, spec in enumerate(manifest["inputs"]):
+        a = rng.rand(*spec["shape"]).astype(np.float32)
+        arrays.append(a)
+        paths.append(write_bin(os.path.join(tmp, f"in_{i}.bin"), a, spec["dtype"]))
+
+    _run_native(export_dir, plugin, runner, paths, tmp)
     native = read_outputs(tmp)
+
+    if check_cache:
+        cache = os.path.join(export_dir, "_exec_cache")
+        cold = _run_native(export_dir, plugin, runner, paths, tmp, cache=cache)
+        warm_dir = os.path.join(export_dir, "_verify_cached")
+        os.makedirs(warm_dir, exist_ok=True)
+        warm = _run_native(export_dir, plugin, runner, paths, warm_dir,
+                           cache=cache)
+        if not warm.get("cached"):
+            raise RuntimeError("second cached run did not load from cache")
+        cached_out = read_outputs(warm_dir)
+        for i, (a, b) in enumerate(zip(native, cached_out)):
+            if not np.array_equal(np.asarray(a), np.asarray(b)):
+                raise RuntimeError(f"cached output {i} != compiled output")
+        print(
+            f"cache OK: cold compile {cold['compile_ms']:.0f} ms -> warm "
+            f"load {warm['compile_ms']:.0f} ms, outputs bit-identical"
+        )
 
     from cerberusnet_tpu.export.aot import load_exported
 
@@ -118,10 +149,17 @@ if __name__ == "__main__":
     v = sub.add_parser("verify")
     v.add_argument("export_dir")
     v.add_argument("--plugin", default="/opt/axon/libaxon_pjrt.so")
+    v.add_argument("--check-cache", action="store_true",
+                   help="also verify the serialized-executable cache path")
     v.add_argument(
         "--runner",
         default=os.path.join(os.path.dirname(__file__), "..", "native",
                              "pjrt_runner", "pjrt_runner"),
     )
     args = ap.parse_args()
-    sys.exit(0 if verify(args.export_dir, args.plugin, args.runner) else 1)
+    sys.exit(
+        0
+        if verify(args.export_dir, args.plugin, args.runner,
+                  check_cache=args.check_cache)
+        else 1
+    )
