@@ -24,15 +24,28 @@ import os
 import sys
 import time
 
+# persistent compile cache: the unrolled timing programs are expensive to
+# compile on the remote helper (minutes each); repeat bench runs (and the
+# driver's end-of-round run) should hit warm cache
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-bench")
+
 import jax
 import jax.numpy as jnp
 
 
 def _loop_time(fn, args, iters, reduce_out):
-    """Seconds per call of fn(*args), honest on this async remote backend."""
-    from cerberusnet_tpu.utils.benchutil import time_fn
+    """Seconds per call of fn(*args), honest on this async remote backend:
+    floor-cancelling two-point unroll differencing (benchutil docstring —
+    the subtractive-floor method was off by ~2x when the tunnel floor
+    drifted between its floor measurement and the run).
 
-    return time_fn(fn, args, iters=iters, reduce_out=reduce_out)
+    The small first point keeps compile cost down (only the DIFFERENCE in
+    unroll counts matters for the estimate; a 10+30 pair took >20 min to
+    compile on the remote helper, 2+12 compiles in ~round-1 time)."""
+    from cerberusnet_tpu.utils.benchutil import time_fn_two_point
+
+    return time_fn_two_point(fn, args, iters=(2, 2 + iters),
+                             reduce_out=reduce_out)
 
 
 def bench_full3head(batch=2, hw=(512, 1024), iters=10, dtype=jnp.bfloat16,
@@ -159,23 +172,23 @@ def bench_train_step(batch=2, hw=(512, 1024), iters=5):
         params = optax.apply_updates(params, updates)
         return (params, opt_state), jnp.float32(0)
 
-    @jax.jit
-    def run(params, opt_state):
-        for i in range(iters):
-            (params, opt_state), _ = step((params, opt_state), jnp.float32(i))
-        return jax.tree.leaves(params)[0].astype(jnp.float32).mean()
+    def build(n):
+        @jax.jit
+        def run(params, opt_state):
+            for i in range(n):
+                (params, opt_state), _ = step((params, opt_state), jnp.float32(i))
+            return jax.tree.leaves(params)[0].astype(jnp.float32).mean()
 
-    from cerberusnet_tpu.utils.benchutil import per_iter_seconds, roundtrip_floor
+        return run
 
-    float(run(variables["params"], opt_state))  # compile + warmup
-    floor = roundtrip_floor()
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        float(run(variables["params"], opt_state))
-        best = min(best, time.time() - t0)
-    # raises FloorLimitedTiming rather than recording garbage (VERDICT W2)
-    sec = per_iter_seconds(best, floor, iters)
+    from cerberusnet_tpu.utils.benchutil import time_fn_two_point
+
+    # floor-cancelling two-point unroll (raises FloorLimitedTiming rather
+    # than recording garbage — VERDICT r1 W2)
+    sec = time_fn_two_point(
+        None, (variables["params"], opt_state), iters=(2, 2 + iters),
+        build=build,
+    )
     return batch / sec  # training frames/sec/chip
 
 

@@ -96,10 +96,18 @@ class SyntheticPerceptionDataset:
             left, xs - flow[..., 0], ys - flow[..., 1]
         ).astype(np.uint8)
 
-        seg = _smooth_field(rng, h, w, 1, 1.0, smoothness=16)[..., 0]
-        seg = (
-            (seg - seg.min()) / (np.ptp(seg) + 1e-6) * (self.num_classes - 1)
-        ).round().astype(np.uint8)
+        # Segmentation labels are a FIXED function of scene appearance
+        # (quantized luminance + red/blue contrast), not an independent
+        # random field: a model that learns the mapping generalizes to
+        # held-out scenes, which makes val-split metrics meaningful
+        # (VERDICT r1 item 7 — the round-1 independent-field labels made
+        # val mIoU chance-level by construction).
+        lum = base @ np.array([0.299, 0.587, 0.114], np.float32)
+        contrast = (base[..., 0] - base[..., 2]) * 0.5 + 0.5
+        score = np.clip(0.75 * lum + 0.25 * contrast, 0.0, 1.0)
+        seg = np.minimum(
+            (score * self.num_classes).astype(np.int64), self.num_classes - 1
+        ).astype(np.uint8)
 
         if self.sparse:
             mask = (rng.rand(h, w) < 0.3).astype(np.float32)

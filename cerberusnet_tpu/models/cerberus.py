@@ -40,6 +40,8 @@ class CerberusNet(nn.Module):
     fpn_channels: int = 96
     corr_impl: str | None = None
     fused: bool = True  # fused estimator+prediction convs (identical math)
+    corr_stack: str = "major"  # cost-volume assembly (ops/correlation.py)
+    distribute_outputs: bool = True  # skip estimator output-stack concats
     batched_encoder: bool = False  # one B*3 encoder pass (identical math)
     seg_head: str = "fpn"  # fpn | aspp (models/segmentation.py factory)
     dtype: jnp.dtype = jnp.float32
@@ -78,6 +80,8 @@ class CerberusNet(nn.Module):
             ctx_channels=tuple(self.ctx_channels),
             corr_impl=self.corr_impl,
             fused=self.fused,
+            corr_stack=self.corr_stack,
+            distribute_outputs=self.distribute_outputs,
             dtype=self.dtype,
         )(f_left, f_right)
         flow_out = FlowDecoder(
@@ -86,6 +90,8 @@ class CerberusNet(nn.Module):
             ctx_channels=tuple(self.ctx_channels),
             corr_impl=self.corr_impl,
             fused=self.fused,
+            corr_stack=self.corr_stack,
+            distribute_outputs=self.distribute_outputs,
             dtype=self.dtype,
         )(f_left, f_temporal)
         seg_logits = make_seg_head(

@@ -120,10 +120,50 @@ class _ConvBlockMirror(nn.Module):
         return _ConvMirror(self.features, self.in_features, name="Conv_0")()
 
 
-def _conv_same(x, k):
+def _conv_same(x, k, dilation: int = 1):
     return jax.lax.conv_general_dilated(
-        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        x,
+        k,
+        (1, 1),
+        "SAME",
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+def conv_over_components(comps, kernel, bias, dtype, dilation: int = 1):
+    """``conv(concat(comps, -1), kernel) + bias`` without materializing the
+    concatenation: the kernel's input axis is sliced per component and the
+    partial sums accumulated (convolution is linear over input channels).
+
+    This removes the widest activation concat in the network — the
+    DenseEstimator output stack (565ch at flow level 2) was only ever
+    consumed by a single conv, and XLA materialized it as a 194 us
+    concatenate per level (round-2 profile, tools/profile_forward.py)."""
+    acc = None
+    off = 0
+    for c in comps:
+        n = c.shape[-1]
+        sl = kernel[:, :, off : off + n, :].astype(dtype)
+        y = _conv_same(c.astype(dtype), sl, dilation)
+        acc = y if acc is None else acc + y
+        off += n
+    return acc + bias.astype(dtype)
+
+
+def conv_transpose_over_components(comps, kernel, bias, strides, dtype):
+    """``conv_transpose(concat(comps, -1), kernel) + bias`` distributed over
+    the components (same linearity as conv_over_components). Mirrors flax
+    nn.ConvTranspose semantics: channels-last, HWIO kernel, SAME padding."""
+    acc = None
+    off = 0
+    for c in comps:
+        n = c.shape[-1]
+        sl = kernel[:, :, off : off + n, :].astype(dtype)
+        y = jax.lax.conv_transpose(c.astype(dtype), sl, strides, "SAME")
+        acc = y if acc is None else acc + y
+        off += n
+    return acc + bias.astype(dtype)
 
 
 class FusedDenseEstimator(nn.Module):
@@ -147,6 +187,11 @@ class FusedDenseEstimator(nn.Module):
 
     channels: Sequence[int] = (128, 128, 96, 64, 32)
     dtype: jnp.dtype = jnp.float32
+    # False: return the raw component list instead of concatenating the
+    # final stack — callers whose only stack consumer is a single linear op
+    # (ContextNetwork first conv, up-feat ConvTranspose) distribute that op
+    # over the components and skip the concat entirely.
+    concat_stack: bool = True
 
     @nn.compact
     def __call__(self, x0, extra_kb=()):
@@ -195,7 +240,11 @@ class FusedDenseEstimator(nn.Module):
                 t = consumers[i_est]
                 components.append(leaky(t["acc"] + t["b"].astype(self.dtype)))
 
-        stack = jnp.concatenate(components, axis=-1)
+        stack = (
+            jnp.concatenate(components, axis=-1)
+            if self.concat_stack
+            else components
+        )
         extra_outs = [
             t["acc"] + t["b"].astype(self.dtype) for t in consumers[n_est:]
         ]
@@ -204,7 +253,13 @@ class FusedDenseEstimator(nn.Module):
 
 class ContextNetwork(nn.Module):
     """Dilated-conv refinement (SURVEY.md §9.4 step 5): 7 convs with
-    dilations 1,2,4,8,16,1,1 producing a residual for the prediction."""
+    dilations 1,2,4,8,16,1,1 producing a residual for the prediction.
+
+    ``x`` may be a LIST of tensors taken as pre-split channel components of
+    the input stack (the FusedDenseEstimator concat_stack=False output): the
+    first conv is then distributed over the components
+    (conv_over_components), skipping the stack concatenation. Param tree and
+    math are identical either way (explicit child names pin the layout)."""
 
     out_channels: int = 2
     channels: Sequence[int] = (128, 128, 128, 96, 64, 32)
@@ -213,6 +268,25 @@ class ContextNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        for ch, dil in zip(self.channels, self.dilations):
-            x = ConvBlock(ch, dilation=dil, dtype=self.dtype)(x)
-        return nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        start = 0
+        if isinstance(x, (list, tuple)):
+            comps = list(x)
+            cin = sum(c.shape[-1] for c in comps)
+            k, b = _ConvBlockMirror(self.channels[0], cin, name="ConvBlock_0")()
+            x = leaky(
+                conv_over_components(
+                    comps, k, b, self.dtype, dilation=self.dilations[0]
+                )
+            )
+            start = 1
+        for i in range(start, len(self.channels)):
+            x = ConvBlock(
+                self.channels[i],
+                dilation=self.dilations[i],
+                dtype=self.dtype,
+                name=f"ConvBlock_{i}",
+            )(x)
+        return nn.Conv(
+            self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
+            name="Conv_0",
+        )(x)

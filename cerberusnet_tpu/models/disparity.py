@@ -26,6 +26,7 @@ from cerberusnet_tpu.models.common import (
     DenseEstimator,
     FusedDenseEstimator,
     _ConvMirror,
+    conv_transpose_over_components,
     leaky,
     upsample2x,
 )
@@ -44,6 +45,9 @@ class DisparityDecoder(nn.Module):
     up_feat_channels: int = 2
     corr_impl: str | None = None
     fused: bool = True  # fused estimator+prediction (identical math/params)
+    # perf knobs, bit-identical math (A/B'd in tools/ab_forward.py):
+    corr_stack: str = "major"  # cost-volume assembly (ops/correlation.py)
+    distribute_outputs: bool = True  # skip estimator output-stack concat
     dtype: jnp.dtype = jnp.float32
 
     def level_max_disp(self, level: int) -> int:
@@ -66,7 +70,8 @@ class DisparityDecoder(nn.Module):
                 inputs = [up_disp, up_feat]
             cost = leaky(
                 correlation1d(
-                    f1, f2w, max_disp=self.level_max_disp(l), impl=self.corr_impl
+                    f1, f2w, max_disp=self.level_max_disp(l),
+                    impl=self.corr_impl, stack=self.corr_stack,
                 )
             )
             # explicit child names keep fused/unfused param trees identical
@@ -80,6 +85,7 @@ class DisparityDecoder(nn.Module):
                 x, (disp,) = FusedDenseEstimator(
                     tuple(self.est_channels),
                     dtype=self.dtype,
+                    concat_stack=not self.distribute_outputs,
                     name=f"DenseEstimator_{i}",
                 )(comps, (pred_kb,))
             else:
@@ -96,8 +102,18 @@ class DisparityDecoder(nn.Module):
                 disp = disp + up_disp
             if l == self.levels[-1]:
                 disp = disp + ContextNetwork(
-                    1, tuple(self.ctx_channels), dtype=self.dtype
+                    1, tuple(self.ctx_channels), dtype=self.dtype,
+                    name="ContextNetwork_0",
                 )(x)
+            elif self.fused and self.distribute_outputs:
+                stack_ch = sum(c.shape[-1] for c in x)
+                kt, bt = _ConvMirror(
+                    self.up_feat_channels, stack_ch, kernel_size=(4, 4),
+                    name=f"ConvTranspose_{i}",
+                )()
+                up_feat = leaky(
+                    conv_transpose_over_components(x, kt, bt, (2, 2), self.dtype)
+                )
             else:
                 up_feat = leaky(
                     nn.ConvTranspose(
@@ -106,6 +122,7 @@ class DisparityDecoder(nn.Module):
                         strides=(2, 2),
                         padding="SAME",
                         dtype=self.dtype,
+                        name=f"ConvTranspose_{i}",
                     )(x)
                 )
             disp_pyramid[l] = disp

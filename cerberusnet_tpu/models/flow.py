@@ -31,6 +31,7 @@ from cerberusnet_tpu.models.common import (
     DenseEstimator,
     FusedDenseEstimator,
     _ConvMirror,
+    conv_transpose_over_components,
     leaky,
     upsample2x,
 )
@@ -49,6 +50,9 @@ class FlowDecoder(nn.Module):
     up_feat_channels: int = 2
     corr_impl: str | None = None
     fused: bool = True  # fused estimator+prediction (identical math/params)
+    # perf knobs, bit-identical math (A/B'd in tools/ab_forward.py):
+    corr_stack: str = "major"  # cost-volume assembly (ops/correlation.py)
+    distribute_outputs: bool = True  # skip estimator output-stack concat
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -67,13 +71,16 @@ class FlowDecoder(nn.Module):
                 f2w = warp2d(f2, up_flow)
                 inputs = [up_flow, up_feat]
             cost = leaky(
-                correlation2d(f1, f2w, max_disp=self.max_disp, impl=self.corr_impl)
+                correlation2d(f1, f2w, max_disp=self.max_disp,
+                              impl=self.corr_impl, stack=self.corr_stack)
             )
             # explicit child names keep fused/unfused param trees identical
             if self.fused:
                 # the 81-ch cost volume stays a separate component — the
                 # fused estimator consumes it in place, skipping one full
-                # input-concat copy per level
+                # input-concat copy per level; concat_stack=False keeps the
+                # OUTPUT stack as components too (the only consumers —
+                # context net / up-feat ConvTranspose — distribute over them)
                 comps = [cost, jnp.concatenate([f1] + inputs, axis=-1)]
                 total_ch = sum(c.shape[-1] for c in comps)
                 pred_kb = _ConvMirror(
@@ -82,6 +89,7 @@ class FlowDecoder(nn.Module):
                 x, (flow,) = FusedDenseEstimator(
                     tuple(self.est_channels),
                     dtype=self.dtype,
+                    concat_stack=not self.distribute_outputs,
                     name=f"DenseEstimator_{i}",
                 )(comps, (pred_kb,))
             else:
@@ -98,8 +106,18 @@ class FlowDecoder(nn.Module):
                 flow = flow + up_flow  # predict residual on top of upsampled flow
             if l == self.levels[-1]:
                 flow = flow + ContextNetwork(
-                    2, tuple(self.ctx_channels), dtype=self.dtype
+                    2, tuple(self.ctx_channels), dtype=self.dtype,
+                    name="ContextNetwork_0",
                 )(x)
+            elif self.fused and self.distribute_outputs:
+                stack_ch = sum(c.shape[-1] for c in x)
+                kt, bt = _ConvMirror(
+                    self.up_feat_channels, stack_ch, kernel_size=(4, 4),
+                    name=f"ConvTranspose_{i}",
+                )()
+                up_feat = leaky(
+                    conv_transpose_over_components(x, kt, bt, (2, 2), self.dtype)
+                )
             else:
                 up_feat = leaky(
                     nn.ConvTranspose(
@@ -108,6 +126,7 @@ class FlowDecoder(nn.Module):
                         strides=(2, 2),
                         padding="SAME",
                         dtype=self.dtype,
+                        name=f"ConvTranspose_{i}",
                     )(x)
                 )
             flow_pyramid[l] = flow

@@ -65,7 +65,22 @@ def _resolve_impl(impl, op):
 # ---------------------------------------------------------------------------
 
 
-def _correlation2d_pure(f1, f2, max_disp, dilation=1):
+def _stack_maps(maps, stack):
+    """Assemble per-displacement maps into the (B,H,W,D) cost volume.
+
+    stack="minor": plain channel-axis stack — XLA assembles it as ~D chained
+    full-buffer dynamic-update-slices at levels 3..5 (each 1-channel slice is
+    a sub-tile write; ~280 MB/frame HBM traffic at D=81, round-2 profile).
+    stack="major": stack along axis 1 (whole-tile-aligned, one concatenate)
+    then a single moveaxis transpose the consumer layout usually absorbs.
+    Bit-identical outputs either way; which is faster is decided by
+    interleaved A/B in the full model (tools/ab_forward.py)."""
+    if stack == "minor":
+        return jnp.stack(maps, axis=-1)
+    return jnp.moveaxis(jnp.stack(maps, axis=1), 1, -1)
+
+
+def _correlation2d_pure(f1, f2, max_disp, dilation=1, stack="major"):
     b, h, w, c = f1.shape
     d = max_disp * dilation
     f1f = f1.astype(jnp.float32)
@@ -74,12 +89,14 @@ def _correlation2d_pure(f1, f2, max_disp, dilation=1):
     for dy in range(0, 2 * d + 1, dilation):
         for dx in range(0, 2 * d + 1, dilation):
             shifted = jax.lax.dynamic_slice(f2p, (0, dy, dx, 0), (b, h, w, c))
-            maps.append(jnp.sum(f1f * shifted, axis=-1))
-    out = jnp.stack(maps, axis=-1) / jnp.float32(c)
-    return out.astype(f1.dtype)
+            # divide + cast per map (bit-identical to stack-then-divide-
+            # then-cast, which keeps the two stack modes interchangeable)
+            m = (jnp.sum(f1f * shifted, axis=-1) / jnp.float32(c)).astype(f1.dtype)
+            maps.append(m)
+    return _stack_maps(maps, stack)
 
 
-def _correlation1d_pure(f1, f2, max_disp, dilation=1):
+def _correlation1d_pure(f1, f2, max_disp, dilation=1, stack="major"):
     b, h, w, c = f1.shape
     dmax = max_disp * dilation
     f1f = f1.astype(jnp.float32)
@@ -88,9 +105,9 @@ def _correlation1d_pure(f1, f2, max_disp, dilation=1):
     maps = []
     for k in range(0, dmax + 1, dilation):
         shifted = jax.lax.dynamic_slice(f2p, (0, 0, dmax - k, 0), (b, h, w, c))
-        maps.append(jnp.sum(f1f * shifted, axis=-1))
-    out = jnp.stack(maps, axis=-1) / jnp.float32(c)
-    return out.astype(f1.dtype)
+        m = (jnp.sum(f1f * shifted, axis=-1) / jnp.float32(c)).astype(f1.dtype)
+        maps.append(m)
+    return _stack_maps(maps, stack)
 
 
 # ---------------------------------------------------------------------------
@@ -98,15 +115,19 @@ def _correlation1d_pure(f1, f2, max_disp, dilation=1):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "impl", "dilation"))
+@functools.partial(
+    jax.jit, static_argnames=("max_disp", "impl", "dilation", "stack")
+)
 def correlation2d(f1, f2, max_disp: int = 4, impl: str | None = None,
-                  dilation: int = 1):
+                  dilation: int = 1, stack: str = "major"):
     """2-D correlation cost volume. (B,H,W,C)x2 -> (B,H,W,(2*max_disp+1)**2).
 
     ``dilation`` samples displacements at offsets dilation*o (o in
     {-d..d}^2) — the dilated cost volumes of DCVNet (PAPERS.md) that trade
-    warping for a one-shot wide receptive field. See module docstring for
-    exact semantics (SURVEY.md §9.2).
+    warping for a one-shot wide receptive field. ``stack`` picks the
+    cost-volume assembly order for the pure impl (see _stack_maps) —
+    bit-identical results. See module docstring for exact semantics
+    (SURVEY.md §9.2).
     """
     if f1.shape != f2.shape:
         raise ValueError(f"f1/f2 shape mismatch: {f1.shape} vs {f2.shape}")
@@ -121,12 +142,14 @@ def correlation2d(f1, f2, max_disp: int = 4, impl: str | None = None,
         from cerberusnet_tpu.ops.pallas.correlation import correlation2d_pallas
 
         return correlation2d_pallas(f1, f2, max_disp)
-    return _correlation2d_pure(f1, f2, max_disp, dilation)
+    return _correlation2d_pure(f1, f2, max_disp, dilation, stack)
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "impl", "dilation"))
+@functools.partial(
+    jax.jit, static_argnames=("max_disp", "impl", "dilation", "stack")
+)
 def correlation1d(f1, f2, max_disp: int = 24, impl: str | None = None,
-                  dilation: int = 1):
+                  dilation: int = 1, stack: str = "major"):
     """1-D (epipolar) correlation. (B,H,W,C)x2 -> (B,H,W,max_disp+1).
 
     ``f1`` is the left-image features, ``f2`` the right-image features;
@@ -146,4 +169,4 @@ def correlation1d(f1, f2, max_disp: int = 24, impl: str | None = None,
         from cerberusnet_tpu.ops.pallas.correlation import correlation1d_pallas
 
         return correlation1d_pallas(f1, f2, max_disp)
-    return _correlation1d_pure(f1, f2, max_disp, dilation)
+    return _correlation1d_pure(f1, f2, max_disp, dilation, stack)

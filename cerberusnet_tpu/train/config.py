@@ -29,6 +29,11 @@ class ModelConfig:
     # Fused DenseNet-estimator + prediction convs (identical math and param
     # tree; each stack component convolved once — measured 1.6x on v5e).
     fused: bool = True
+    # Cost-volume assembly order (ops/correlation.py _stack_maps) and
+    # estimator output-stack distribution (models/common.py) — bit-identical
+    # perf knobs, A/B'd in tools/ab_forward.py.
+    corr_stack: str = "major"
+    distribute_outputs: bool = True
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
 
     @property

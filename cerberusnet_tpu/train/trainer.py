@@ -82,6 +82,8 @@ def build_model(cfg: ModelConfig):
             ctx_channels=tuple(cfg.ctx_channels),
             fpn_channels=cfg.fpn_channels,
             seg_head=cfg.seg_head,
+            corr_stack=cfg.corr_stack,
+            distribute_outputs=cfg.distribute_outputs,
             **common,
         )
 
@@ -157,6 +159,12 @@ def build_model(cfg: ModelConfig):
 
 
 def build_optimizer(cfg):
+    if cfg.schedule in ("cosine", "poly") and cfg.warmup_steps >= cfg.total_steps:
+        raise ValueError(
+            f"optim.warmup_steps ({cfg.warmup_steps}) must be < "
+            f"optim.total_steps ({cfg.total_steps}) for the "
+            f"{cfg.schedule!r} schedule (decay phase would be empty)"
+        )
     if cfg.schedule == "cosine":
         sched = optax.warmup_cosine_decay_schedule(
             0.0, cfg.lr, cfg.warmup_steps, cfg.total_steps

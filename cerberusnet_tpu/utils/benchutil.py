@@ -121,3 +121,58 @@ def time_fn(
             if iters >= max_iters:
                 raise
             iters = min(iters * 4, max_iters)
+
+
+def time_fn_two_point(
+    fn, args, iters=(10, 30), reduce_out=None, repeats=3, build=None
+):
+    """Floor-CANCELLING seconds/iteration: time unrolls of n1 and n2
+    iterations and return (wall_n2 - wall_n1) / (n2 - n1).
+
+    The subtractive floor method (time_fn) is only as honest as its floor
+    measurement — on this tunnel the dispatch+fetch floor drifts by tens of
+    ms between sessions, which at 10 unrolled iterations corrupts the
+    per-frame number by whole milliseconds (round-2 finding: bench said
+    10.5 ms/frame while an interleaved A/B and the XProf device-time both
+    said ~5.5 ms). Differencing two unroll counts cancels EVERY per-call
+    constant — dispatch, fetch, even a drifted floor — as long as its
+    best-of-N minimum is stable across the (interleaved) measurements.
+
+    n1/n2 measurements are interleaved so both ride the same backend
+    conditions; best-of-``repeats`` of each is used. Raises
+    FloorLimitedTiming if the difference comes out non-positive (pure
+    noise — increase the iteration counts)."""
+    if reduce_out is None:
+        def reduce_out(out):
+            leaf = jax.tree.leaves(out)[0]
+            return leaf.astype(jnp.float32).mean()
+
+    if build is None:
+        def build(n):
+            @jax.jit
+            def run(x0, *rest):
+                acc = jnp.float32(0)
+                x = x0
+                for _ in range(n):
+                    out = fn(x, *rest)
+                    acc = acc + reduce_out(out).astype(jnp.float32)
+                    x = x0 + (acc * 1e-20).astype(x0.dtype)
+                return acc
+
+            return run
+
+    n1, n2 = iters
+    assert n2 > n1 > 0
+    runs = [build(n1), build(n2)]
+    for r in runs:
+        _fetch(r(*args))  # compile + warmup
+    best = [float("inf"), float("inf")]
+    for _ in range(repeats):
+        for i, r in enumerate(runs):
+            t0 = time.time()
+            _fetch(r(*args))
+            best[i] = min(best[i], time.time() - t0)
+    diff = best[1] - best[0]
+    if diff <= 0:
+        raise FloorLimitedTiming(best[1], best[0], n2 - n1)
+    return diff / (n2 - n1)

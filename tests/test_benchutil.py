@@ -10,6 +10,7 @@ from cerberusnet_tpu.utils.benchutil import (
     per_iter_seconds,
     roundtrip_floor,
     time_fn,
+    time_fn_two_point,
 )
 
 
@@ -22,6 +23,46 @@ class TestBenchutil:
         x = jnp.ones((64, 64), jnp.float32)
         t = time_fn(lambda a: jnp.tanh(a @ a), (x,), iters=5)
         assert 0 < t < 1.0
+
+    def test_two_point_returns_positive_seconds(self):
+        x = jnp.ones((256, 256), jnp.float32)
+        t = time_fn_two_point(
+            lambda a: jnp.tanh(a @ a), (x,), iters=(4, 12)
+        )
+        assert 0 < t < 1.0
+
+    def test_two_point_cancels_per_call_constant(self):
+        """The per-call floor must not leak into the per-iteration figure:
+        the same op timed at two very different unroll pairs should agree
+        to within noise, which the subtractive method can't guarantee when
+        the floor estimate is wrong (it isn't used here at all)."""
+        x = jnp.ones((512, 512), jnp.float32)
+
+        def op(a):
+            return jnp.tanh(a @ a)
+
+        t1 = time_fn_two_point(op, (x,), iters=(2, 10), repeats=4)
+        t2 = time_fn_two_point(op, (x,), iters=(6, 18), repeats=4)
+        assert 0 < t1 and 0 < t2
+        assert abs(t1 - t2) < 5 * max(t1, t2)  # loose CPU-noise bound
+
+    def test_two_point_custom_build(self):
+        calls = []
+
+        def build(n):
+            def run(x):
+                calls.append(n)
+                y = x
+                for _ in range(n):
+                    y = jnp.tanh(y @ y)
+                return y.mean()
+
+            return run
+
+        x = jnp.ones((128, 128), jnp.float32)
+        t = time_fn_two_point(None, (x,), iters=(3, 9), build=build)
+        assert 0 < t < 1.0
+        assert set(calls) == {3, 9}
 
 
 class TestFloorGuard:

@@ -1,0 +1,97 @@
+"""Interleaved A/B of CerberusNet perf variants in ONE process.
+
+Run-to-run variance on the axon backend is ~±0.5 ms, so separate-process
+comparisons lie (CLAUDE.md rule 7); this tool compiles every variant up
+front, then measures them round-robin for --rounds rounds and reports
+per-variant best and median ms/frame. All variants are bit-identical math
+(same param tree, same outputs) — only the XLA program structure differs.
+
+Usage:
+  python tools/ab_forward.py                 # headline forward variants
+  python tools/ab_forward.py --batch 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from cerberusnet_tpu.utils.benchutil import _fetch, roundtrip_floor  # noqa: E402
+
+
+def build_runner(model, variables, imgs, iters):
+    @jax.jit
+    def run(left, right, temporal):
+        acc = jnp.float32(0)
+        x = left
+        for _ in range(iters):
+            out = model.apply(variables, x, right, temporal)
+            acc = acc + out["flow"].astype(jnp.float32).mean()
+            x = left + (acc * 1e-20).astype(left.dtype)
+        return acc
+
+    return run
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--hw", type=int, nargs=2, default=(512, 1024))
+    args = ap.parse_args()
+
+    from cerberusnet_tpu.models import CerberusNet
+
+    variants = {
+        "r1 (minor, no-dist)": dict(corr_stack="minor", distribute_outputs=False),
+        "corr-major only": dict(corr_stack="major", distribute_outputs=False),
+        "dist-outputs only": dict(corr_stack="minor", distribute_outputs=True),
+        "r2 (major, dist)": dict(corr_stack="major", distribute_outputs=True),
+    }
+
+    h, w = args.hw
+    imgs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (args.batch, h, w, 3), jnp.bfloat16)
+        for i in range(3)
+    )
+
+    runners = {}
+    variables = None
+    for name, kw in variants.items():
+        model = CerberusNet(dtype=jnp.bfloat16, **kw)
+        if variables is None:
+            variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
+        run = build_runner(model, variables, imgs, args.iters)
+        _fetch(run(*imgs))  # compile + warmup
+        runners[name] = run
+        print(f"[compiled] {name}", flush=True)
+
+    floor = roundtrip_floor()
+    times = {name: [] for name in runners}
+    for r in range(args.rounds):
+        for name, run in runners.items():
+            t0 = time.time()
+            _fetch(run(*imgs))
+            dt = (time.time() - t0 - floor) / args.iters / args.batch
+            times[name].append(dt)
+            print(f"  round {r}: {name}: {dt * 1e3:.3f} ms/frame", flush=True)
+
+    print(f"\nfloor={floor * 1e3:.2f} ms, iters={args.iters}, "
+          f"batch={args.batch}, {h}x{w}")
+    for name, ts in times.items():
+        best, med = min(ts), statistics.median(ts)
+        print(f"{name:24s} best {best * 1e3:7.3f}  median {med * 1e3:7.3f} "
+              f"ms/frame  ({1.0 / med:6.1f} fps med)")
+
+
+if __name__ == "__main__":
+    main()
