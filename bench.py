@@ -35,9 +35,9 @@ import jax.numpy as jnp
 
 def _loop_time(fn, args, iters, reduce_out):
     """Seconds per call of fn(*args), honest on this async remote backend:
-    floor-cancelling two-point unroll differencing (benchutil docstring —
-    the subtractive-floor method was off by ~2x when the tunnel floor
-    drifted between its floor measurement and the run).
+    floor-cancelling two-point unroll differencing (see the benchutil
+    docstring; tools/timing_diag.py validated wall time as affine in the
+    unroll count, so the slope is the true streaming cost per frame).
 
     The small first point keeps compile cost down (only the DIFFERENCE in
     unroll counts matters for the estimate; a 10+30 pair took >20 min to
@@ -222,10 +222,12 @@ def main():
 
     if args.all:
         subbenches = {
-            # seg is fast enough that 10 iters sit at the dispatch+fetch
-            # floor; start high — time_fn auto-scales further if needed.
+            # seg is fast (~1 ms/frame): widen the two-point gap for signal,
+            # but keep the long unroll compile-friendly (42 programs of a
+            # small net; a 100+ unroll of the big net took >20 min to
+            # compile on the remote helper).
             "seg_fp32_fps": lambda: bench_head(
-                "seg", batch=1, iters=max(args.iters * 10, 100), dtype=jnp.float32
+                "seg", batch=1, iters=40, dtype=jnp.float32
             ),
             "stereo_bf16_fps": lambda: bench_head(
                 "stereo", batch=args.batch, iters=args.iters

@@ -132,11 +132,19 @@ def time_fn_two_point(
     The subtractive floor method (time_fn) is only as honest as its floor
     measurement — on this tunnel the dispatch+fetch floor drifts by tens of
     ms between sessions, which at 10 unrolled iterations corrupts the
-    per-frame number by whole milliseconds (round-2 finding: bench said
-    10.5 ms/frame while an interleaved A/B and the XProf device-time both
-    said ~5.5 ms). Differencing two unroll counts cancels EVERY per-call
-    constant — dispatch, fetch, even a drifted floor — as long as its
-    best-of-N minimum is stable across the (interleaved) measurements.
+    per-frame number by whole milliseconds. Differencing two unroll counts
+    cancels EVERY per-call constant — dispatch, fetch, even a drifted
+    floor — as long as its best-of-N minimum is stable across the
+    (interleaved) measurements.
+
+    Ground truth (tools/timing_diag.py, round 2): wall time of the headline
+    forward is cleanly affine in the unroll count — T(n) for n in
+    {2,7,12,22} gives every pairwise slope in 9.5-11.8 ms/iter — so the
+    two-point slope IS the streaming cost per iteration. A floor-subtracted
+    A/B that read ~5.5 ms/frame was over-subtracting a drifted floor, and
+    the XProf device timeline (5.66 ms/step, "100% occupied") accounts for
+    only ~55% of real wall time on this backend — do not treat either as
+    the headline number.
 
     n1/n2 measurements are interleaved so both ride the same backend
     conditions; best-of-``repeats`` of each is used. Raises

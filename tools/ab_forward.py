@@ -6,6 +6,12 @@ front, then measures them round-robin for --rounds rounds and reports
 per-variant best and median ms/frame. All variants are bit-identical math
 (same param tree, same outputs) — only the XLA program structure differs.
 
+NOTE on absolute numbers: the per-frame figures here subtract a
+separately-measured floor, which drifts (tools/timing_diag.py) — use them
+ONLY to rank variants (the floor error is common to all variants in a
+round); the honest absolute per-frame cost comes from bench.py's two-point
+slope.
+
 Usage:
   python tools/ab_forward.py                 # headline forward variants
   python tools/ab_forward.py --batch 2
