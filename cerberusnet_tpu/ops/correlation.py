@@ -48,7 +48,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_IMPLS = (None, "auto", "pure", "pallas", "pallas_wl")
+_IMPLS = (None, "auto", "pure", "purev", "pallas", "pallas_wl")
 
 
 def _resolve_impl(impl, op):
@@ -110,6 +110,58 @@ def _correlation1d_pure(f1, f2, max_disp, dilation=1, stack="major"):
     return _stack_maps(maps, stack)
 
 
+def _correlation2d_purev(f1, f2, max_disp, dilation=1):
+    """vmapped-displacement formulation: the whole displacement loop becomes
+    ONE batched-start dynamic-slice (a gather) + ONE multiply-reduce + ONE
+    transpose, instead of ~10 XLA ops per displacement.
+
+    Motivation (round-2 profile, tools/profile_report.py on the headline
+    forward): the per-displacement 'pure' loop compiles to ~800 device ops
+    per step (405 sub-tile copies + 167 fusions + update-slices) for ~0.6 ms
+    of busy time — and on this backend each device op carries a measured
+    wall overhead the trace never shows (tools/overhead_diag.py), so op
+    count is a first-class cost. Values match 'pure' up to f32
+    reduction-order rounding (~1e-7 rel; the batched reduce may use a
+    different summation tree)."""
+    b, h, w, c = f1.shape
+    d = max_disp * dilation
+    f1f = f1.astype(jnp.float32)
+    f2p = jnp.pad(f2.astype(jnp.float32), ((0, 0), (d, d), (d, d), (0, 0)))
+    offs = jnp.array(
+        [
+            (dy, dx)
+            for dy in range(0, 2 * d + 1, dilation)
+            for dx in range(0, 2 * d + 1, dilation)
+        ],
+        jnp.int32,
+    )
+
+    def one(o):
+        shifted = jax.lax.dynamic_slice(f2p, (0, o[0], o[1], 0), (b, h, w, c))
+        return (jnp.sum(f1f * shifted, axis=-1) / jnp.float32(c)).astype(f1.dtype)
+
+    maps = jax.vmap(one)(offs)  # (D, B, H, W)
+    return jnp.moveaxis(maps, 0, -1)
+
+
+def _correlation1d_purev(f1, f2, max_disp, dilation=1):
+    """1-D analogue of _correlation2d_purev (see its docstring)."""
+    b, h, w, c = f1.shape
+    dmax = max_disp * dilation
+    f1f = f1.astype(jnp.float32)
+    f2p = jnp.pad(f2.astype(jnp.float32), ((0, 0), (0, 0), (dmax, 0), (0, 0)))
+    offs = jnp.array(
+        [dmax - k for k in range(0, dmax + 1, dilation)], jnp.int32
+    )
+
+    def one(o):
+        shifted = jax.lax.dynamic_slice(f2p, (0, 0, o, 0), (b, h, w, c))
+        return (jnp.sum(f1f * shifted, axis=-1) / jnp.float32(c)).astype(f1.dtype)
+
+    maps = jax.vmap(one)(offs)  # (D, B, H, W)
+    return jnp.moveaxis(maps, 0, -1)
+
+
 # ---------------------------------------------------------------------------
 # Public dispatching entry points.
 # ---------------------------------------------------------------------------
@@ -142,6 +194,8 @@ def correlation2d(f1, f2, max_disp: int = 4, impl: str | None = None,
         from cerberusnet_tpu.ops.pallas.correlation import correlation2d_pallas
 
         return correlation2d_pallas(f1, f2, max_disp)
+    if chosen == "purev":
+        return _correlation2d_purev(f1, f2, max_disp, dilation)
     return _correlation2d_pure(f1, f2, max_disp, dilation, stack)
 
 
@@ -169,4 +223,6 @@ def correlation1d(f1, f2, max_disp: int = 24, impl: str | None = None,
         from cerberusnet_tpu.ops.pallas.correlation import correlation1d_pallas
 
         return correlation1d_pallas(f1, f2, max_disp)
+    if chosen == "purev":
+        return _correlation1d_purev(f1, f2, max_disp, dilation)
     return _correlation1d_pure(f1, f2, max_disp, dilation, stack)

@@ -231,3 +231,55 @@ class TestCorrelationWL:
         out = correlation2d(f1, f2, max_disp=2, impl="pallas_wl")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestCorrelationPurev:
+    """vmapped-displacement formulation (impl='purev'): one batched
+    dynamic-slice + one multiply-reduce instead of a per-displacement op
+    chain. Values match 'pure' up to f32 reduction-order rounding."""
+
+    def test_2d_matches_pure(self, rng):
+        f1 = jnp.asarray(rng.randn(2, 13, 27, 9), jnp.float32)
+        f2 = jnp.asarray(rng.randn(2, 13, 27, 9), jnp.float32)
+        ref = correlation2d(f1, f2, max_disp=4, impl="pure")
+        out = correlation2d(f1, f2, max_disp=4, impl="purev")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_2d_dilated_matches_pure(self, rng):
+        f1 = jnp.asarray(rng.randn(1, 20, 26, 7), jnp.float32)
+        f2 = jnp.asarray(rng.randn(1, 20, 26, 7), jnp.float32)
+        for dil in (2, 4):
+            ref = correlation2d(f1, f2, max_disp=3, impl="pure", dilation=dil)
+            out = correlation2d(f1, f2, max_disp=3, impl="purev", dilation=dil)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_1d_matches_pure(self, rng):
+        f1 = jnp.asarray(rng.randn(2, 11, 33, 6), jnp.float32)
+        f2 = jnp.asarray(rng.randn(2, 11, 33, 6), jnp.float32)
+        ref = correlation1d(f1, f2, max_disp=6, impl="pure")
+        out = correlation1d(f1, f2, max_disp=6, impl="purev")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_2d_grads_match_pure(self, rng):
+        f1 = jnp.asarray(rng.randn(1, 9, 14, 5), jnp.float32)
+        f2 = jnp.asarray(rng.randn(1, 9, 14, 5), jnp.float32)
+        g_v = jax.grad(
+            lambda a, b: (correlation2d(a, b, 2, impl="purev") ** 2).sum(),
+            argnums=(0, 1),
+        )(f1, f2)
+        g_pure = jax.grad(
+            lambda a, b: (correlation2d(a, b, 2, impl="pure") ** 2).sum(),
+            argnums=(0, 1),
+        )(f1, f2)
+        for a, b in zip(g_v, g_pure):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_bf16_dtype_and_shape(self, rng):
+        f1 = jnp.asarray(rng.randn(1, 8, 16, 4), jnp.bfloat16)
+        f2 = jnp.asarray(rng.randn(1, 8, 16, 4), jnp.bfloat16)
+        out = correlation2d(f1, f2, max_disp=2, impl="purev")
+        assert out.dtype == jnp.bfloat16 and out.shape == (1, 8, 16, 25)

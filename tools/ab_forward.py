@@ -53,17 +53,29 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--hw", type=int, nargs=2, default=(512, 1024))
+    ap.add_argument("--set", default="stack", dest="variant_set",
+                    help="which variant set to race (stack | corr)")
     args = ap.parse_args()
 
     from cerberusnet_tpu.models import CerberusNet
 
-    variants = {
-        "r1 (minor, no-dist)": dict(corr_stack="minor", distribute_outputs=False),
-        "corr-major only": dict(corr_stack="major", distribute_outputs=False),
-        "dist-outputs only": dict(corr_stack="minor", distribute_outputs=True),
-        "r2 (major, dist)": dict(corr_stack="major", distribute_outputs=True),
+    variant_sets = {
+        "stack": {
+            "r1 (minor, no-dist)": dict(corr_stack="minor", distribute_outputs=False),
+            "corr-major only": dict(corr_stack="major", distribute_outputs=False),
+            "dist-outputs only": dict(corr_stack="minor", distribute_outputs=True),
+            "r2 (major, dist)": dict(corr_stack="major", distribute_outputs=True),
+        },
+        # corr formulations (purev is pure up to ~1e-7 reduction-order
+        # rounding; pallas_wl is a custom kernel — rank, don't diff bits)
+        "corr": {
+            "pure (r2 base)": dict(),
+            "purev": dict(corr_impl="purev"),
+            "pallas_wl": dict(corr_impl="pallas_wl"),
+        },
     }
 
+    variants = variant_sets[args.variant_set]
     h, w = args.hw
     imgs = tuple(
         jax.random.normal(jax.random.PRNGKey(i), (args.batch, h, w, 3), jnp.bfloat16)
