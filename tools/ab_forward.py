@@ -47,6 +47,45 @@ def build_runner(model, variables, imgs, iters):
     return run
 
 
+def build_train_runner(model, variables, imgs, iters):
+    """Race full train steps (fwd + joint loss + backward + adamw update)
+    instead of forwards — corr formulations differ most in their BACKWARD
+    (e.g. purev's batched dynamic-slice transposes to a scatter-add)."""
+    import optax
+
+    from cerberusnet_tpu.train import losses
+
+    b, h, w = imgs[0].shape[:3]
+    bd = {
+        "left": imgs[0], "right": imgs[1], "temporal": imgs[2],
+        "seg_labels": jnp.zeros((b, h, w), jnp.int32),
+        "flow_gt": jnp.zeros((b, h, w, 2), jnp.float32),
+        "flow_valid": jnp.ones((b, h, w), jnp.float32),
+        "disp_gt": jnp.ones((b, h, w), jnp.float32),
+        "disp_valid": jnp.ones((b, h, w), jnp.float32),
+    }
+    tx = optax.adamw(1e-4)
+    opt_state0 = jax.jit(tx.init)(variables["params"])
+
+    def loss_fn(params, left):
+        out = model.apply({"params": params}, left, bd["right"], bd["temporal"])
+        total, _ = losses.joint_loss(out, dict(bd, left=left))
+        return total
+
+    @jax.jit
+    def run(left, right, temporal):
+        params, opt_state = variables["params"], opt_state0
+        x = left
+        for i in range(iters):
+            grads = jax.grad(loss_fn)(params, x)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            x = left + jax.tree.leaves(params)[0].astype(jnp.float32).mean().astype(left.dtype) * 1e-20
+        return jax.tree.leaves(params)[0].astype(jnp.float32).mean()
+
+    return run
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1)
@@ -55,6 +94,8 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=(512, 1024))
     ap.add_argument("--set", default="stack", dest="variant_set",
                     help="which variant set to race (stack | corr)")
+    ap.add_argument("--train", action="store_true",
+                    help="race full train steps instead of forwards")
     args = ap.parse_args()
 
     from cerberusnet_tpu.models import CerberusNet
@@ -88,7 +129,8 @@ def main():
         model = CerberusNet(dtype=jnp.bfloat16, **kw)
         if variables is None:
             variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
-        run = build_runner(model, variables, imgs, args.iters)
+        builder = build_train_runner if args.train else build_runner
+        run = builder(model, variables, imgs, args.iters)
         _fetch(run(*imgs))  # compile + warmup
         runners[name] = run
         print(f"[compiled] {name}", flush=True)
