@@ -43,6 +43,7 @@ class CerberusNet(nn.Module):
     corr_stack: str = "major"  # cost-volume assembly (ops/correlation.py)
     distribute_outputs: bool = True  # skip estimator output-stack concats
     batched_encoder: bool = False  # one B*3 encoder pass (identical math)
+    s2d_stem: bool = False  # space-to-depth level-1 conv (identical math)
     seg_head: str = "fpn"  # fpn | aspp (models/segmentation.py factory)
     dtype: jnp.dtype = jnp.float32
 
@@ -57,7 +58,8 @@ class CerberusNet(nn.Module):
           flow_pyramid:  {level: (B, H/2^l, W/2^l, 2)}
           disp_pyramid:  {level: (B, H/2^l, W/2^l, 1)}
         """
-        encoder = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)
+        encoder = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype,
+                                 s2d_stem=self.s2d_stem)
         if self.batched_encoder:
             # One batched encoder application over the three frames:
             # identical math; 1.25x faster STANDALONE on v5e, but the

@@ -14,23 +14,75 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from cerberusnet_tpu.models.common import ConvBlock
+from cerberusnet_tpu.models.common import ConvBlock, _ConvBlockMirror, leaky
+
+
+def _s2d_stem_conv(x, kernel, bias, dtype):
+    """Stride-2 3x3 SAME conv on a (B, H, W, C) input, computed as a
+    stride-1 2x2 conv on the space-to-depth(2) input with the SAME 3x3
+    kernel rearranged — mathematically identical products (XLA SAME padding
+    for k=3/stride 2 on even extents is (0, 1), i.e. output pixel i reads
+    input rows 2i..2i+2 with the last row zero-padded).
+
+    Why: the raw 3-channel image input forces a ~74 us tiled-layout copy
+    per frame in front of the first conv (round-2 profile: the single
+    largest copy shape, bf16[512,8,132,3]); after s2d the conv input has
+    4C channels at half resolution and the rearrangement is a cheap
+    reshape/transpose chain XLA fuses."""
+    b, h, w, c = x.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"s2d stem needs even H/W, got {h}x{w}")
+    f = kernel.shape[-1]
+    # [3,3,C,F] -> zero-pad taps to [4,4,C,F] -> [Dy,dy,Dx,dx,C,F]
+    k4 = jnp.pad(kernel.astype(dtype), ((0, 1), (0, 1), (0, 0), (0, 0)))
+    k2 = (
+        k4.reshape(2, 2, 2, 2, c, f)
+        .transpose(0, 2, 1, 3, 4, 5)  # [Dy,Dx,dy,dx,C,F]
+        .reshape(2, 2, 4 * c, f)
+    )
+    x2 = (
+        x.astype(dtype)
+        .reshape(b, h // 2, 2, w // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)  # [B, H/2, W/2, dy, dx, C]
+        .reshape(b, h // 2, w // 2, 4 * c)
+    )
+    y = jax.lax.conv_general_dilated(
+        x2, k2, (1, 1), ((0, 1), (0, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + bias.astype(dtype)
 
 
 class PyramidEncoder(nn.Module):
     channels: Sequence[int] = (16, 32, 64, 96, 128, 196)
     dtype: jnp.dtype = jnp.float32
+    # Compute the level-1 stride-2 conv via space-to-depth (math- and
+    # param-tree-identical; see _s2d_stem_conv). Off until the interleaved
+    # end-to-end A/B on hardware ranks it (tools/ab_forward.py).
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x):
         """(B, H, W, 3) image -> list of 6 feature maps, levels 1..6."""
         feats = []
-        for ch in self.channels:
-            x = ConvBlock(ch, stride=2, dtype=self.dtype)(x)
-            x = ConvBlock(ch, dtype=self.dtype)(x)
-            x = ConvBlock(ch, dtype=self.dtype)(x)
+        # explicit names pin the ConvBlock_{i} layout so the s2d branch
+        # (whose mirror would otherwise desync flax auto-numbering) yields
+        # an identical param tree
+        n = 0
+        for i, ch in enumerate(self.channels):
+            if i == 0 and self.s2d_stem:
+                k, b = _ConvBlockMirror(ch, x.shape[-1], name=f"ConvBlock_{n}")()
+                x = leaky(_s2d_stem_conv(x, k, b, self.dtype))
+            else:
+                x = ConvBlock(ch, stride=2, dtype=self.dtype,
+                              name=f"ConvBlock_{n}")(x)
+            n += 1
+            for _ in range(2):
+                x = ConvBlock(ch, dtype=self.dtype, name=f"ConvBlock_{n}")(x)
+                n += 1
             feats.append(x)
         return feats

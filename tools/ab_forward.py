@@ -114,6 +114,13 @@ def main():
             "purev": dict(corr_impl="purev"),
             "pallas_wl": dict(corr_impl="pallas_wl"),
         },
+        # op-count / relayout reduction candidates (round 2)
+        "opcount": {
+            "base": dict(),
+            "purev": dict(corr_impl="purev"),
+            "s2d": dict(s2d_stem=True),
+            "purev+s2d": dict(corr_impl="purev", s2d_stem=True),
+        },
     }
 
     variants = variant_sets[args.variant_set]
