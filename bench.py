@@ -130,15 +130,20 @@ def bench_cerberus_dcv(batch=1, hw=(512, 1024), iters=10):
     return batch / sec
 
 
-def bench_train_step(batch=2, hw=(512, 1024), iters=5):
+def bench_train_step(batch=2, hw=(512, 1024), iters=5, flatten=False,
+                     model_kw=()):
     """[BASELINE:L11] config 5: end-to-end multi-task train step (joint loss,
-    backward through the Pallas VJPs, optimizer update)."""
+    backward through the Pallas VJPs, optimizer update).
+
+    flatten: run adamw on the raveled flat param vector (optax.flatten,
+    math-identical) — the train-step op-count knob; model_kw: extra
+    CerberusNet kwargs for A/B runs (e.g. corr_impl)."""
     import optax
 
     from cerberusnet_tpu.models import CerberusNet
     from cerberusnet_tpu.train import losses
 
-    model = CerberusNet(dtype=jnp.bfloat16)
+    model = CerberusNet(dtype=jnp.bfloat16, **dict(model_kw))
     h, w = hw
     imgs = tuple(
         jax.random.normal(jax.random.PRNGKey(i), (batch, h, w, 3), jnp.bfloat16)
@@ -156,6 +161,8 @@ def bench_train_step(batch=2, hw=(512, 1024), iters=5):
     }
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
     tx = optax.adamw(1e-4)
+    if flatten:
+        tx = optax.flatten(tx)
     opt_state = jax.jit(tx.init)(variables["params"])
 
     def loss_fn(params, bd):

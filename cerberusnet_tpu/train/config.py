@@ -74,6 +74,11 @@ class OptimConfig:
     # accum_steps micro-batch gradients (optax.MultiSteps) — large effective
     # batches without the HBM of a large per-step batch.
     accum_steps: int = 1
+    # Run the optimizer on one raveled flat vector (optax.flatten) — math-
+    # identical for elementwise optimizers, collapses the per-leaf update
+    # op chains (train-step op-count/wall win on the axon backend). Changes
+    # the opt-state pytree, so only flip on fresh runs.
+    flatten: bool = False
     # Exponential moving average of params; 0.0 = off. When on, eval and
     # export use the EMA weights (the deployment-quality weights).
     ema_decay: float = 0.0

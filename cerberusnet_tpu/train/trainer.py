@@ -186,6 +186,15 @@ def build_optimizer(cfg):
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     if cfg.grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    if getattr(cfg, "flatten", False):
+        # One flat-vector update instead of ~100 per-leaf elementwise chains:
+        # adamw/adam/sgd are elementwise, so ravel-then-update is math-
+        # identical while collapsing the optimizer's XLA op count ~leafcount-
+        # fold — on this backend every device op carries wall overhead
+        # beyond its busy time (tools/overhead_diag.py), so op count shows
+        # up directly in train-step wall time. Changes the opt-state pytree
+        # (flat), so flip it only on fresh runs or matching checkpoints.
+        tx = optax.flatten(tx)
     if getattr(cfg, "accum_steps", 1) > 1:
         # Gradient accumulation: optimizer state carries the running mean of
         # micro-batch grads; params update once every accum_steps calls.

@@ -217,3 +217,35 @@ class TestTrainerExport:
             assert np.isfinite(q).all()
             rel = np.linalg.norm((q - r).ravel()) / (np.linalg.norm(r.ravel()) + 1e-9)
             assert rel < 0.5, rel  # untrained weights: just sanity-bound it
+
+
+def test_flatten_optimizer_matches_per_leaf():
+    """optim.flatten=True (optax.flatten over the raveled param vector) is
+    math-identical to the per-leaf optimizer for elementwise updates
+    (train/trainer.py build_optimizer)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from cerberusnet_tpu.train.config import OptimConfig
+    from cerberusnet_tpu.train.trainer import build_optimizer
+
+    params = {
+        "a": jnp.ones((3, 4)),
+        "b": {"k": jnp.arange(6.0).reshape(2, 3), "bias": jnp.zeros(3)},
+    }
+    grads = jax.tree.map(lambda p: p * 0.1 + 0.01, params)
+    for opt in ("adamw", "adam", "sgd"):
+        t0 = build_optimizer(OptimConfig(optimizer=opt))
+        t1 = build_optimizer(OptimConfig(optimizer=opt, flatten=True))
+        s0, s1 = t0.init(params), t1.init(params)
+        p0, p1 = params, params
+        for _ in range(3):
+            u0, s0 = t0.update(grads, s0, p0)
+            p0 = optax.apply_updates(p0, u0)
+            u1, s1 = t1.update(grads, s1, p1)
+            p1 = optax.apply_updates(p1, u1)
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
