@@ -1,0 +1,64 @@
+"""Benchmark-submission writers (eval/submission.py): written PNGs decode
+back to the predictions through the SAME decoders the datasets use
+(data/encodings.py, SURVEY.md §9.5) — the write/read pair is self-inverse
+up to the formats' quantization (flow 1/64 px, disparity 1/256 px)."""
+
+import numpy as np
+import pytest
+
+from cerberusnet_tpu.data.encodings import (
+    CITYSCAPES_LABELID_TO_TRAINID,
+    decode_kitti_disparity,
+    decode_kitti_flow,
+)
+from cerberusnet_tpu.data.io import read_image_gray_u8, read_png16
+from cerberusnet_tpu.eval.submission import (
+    TRAINID_TO_LABELID,
+    write_predictions,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(7)
+
+
+def test_trainid_labelid_inverse():
+    assert np.all(
+        CITYSCAPES_LABELID_TO_TRAINID[TRAINID_TO_LABELID] == np.arange(19)
+    )
+
+
+def test_write_predictions_roundtrip(tmp_path, rng):
+    b, h, w = 2, 16, 24
+    outputs = {
+        "flow": rng.uniform(-30, 30, (b, h, w, 2)).astype(np.float32),
+        "disp": rng.uniform(0.5, 90, (b, h, w, 1)).astype(np.float32),
+        "seg_logits": rng.randn(b, h, w, 19).astype(np.float32),
+    }
+    names = ["000000_10", "000001_10"]
+    made = write_predictions(outputs, str(tmp_path), names)
+    assert len(made) == 3 * b
+
+    for i, stem in enumerate(names):
+        flow, valid = decode_kitti_flow(
+            read_png16(str(tmp_path / "flow" / f"{stem}.png"))
+        )
+        assert valid.min() == 1.0
+        np.testing.assert_allclose(
+            flow, outputs["flow"][i], atol=1.0 / 64 + 1e-6
+        )
+
+        disp, dvalid = decode_kitti_disparity(
+            read_png16(str(tmp_path / "disp_0" / f"{stem}.png"))
+        )
+        assert dvalid.min() == 1.0
+        np.testing.assert_allclose(
+            disp, outputs["disp"][i, ..., 0], atol=1.0 / 256 + 1e-6
+        )
+
+        labelids = read_image_gray_u8(str(tmp_path / "semantic" / f"{stem}.png"))
+        trainids = CITYSCAPES_LABELID_TO_TRAINID[labelids]
+        np.testing.assert_array_equal(
+            trainids, outputs["seg_logits"][i].argmax(-1)
+        )
