@@ -26,8 +26,8 @@ timeout 3600 python -u tools/ab_forward.py --set opcount --rounds 3 \
   > /tmp/q_ab_opcount.log 2>&1
 say "ab opcount rc=$?"
 
-say "=== 3. train-step A/B: corr set ==="
-timeout 3600 python -u tools/ab_forward.py --set corr --train --iters 3 \
+say "=== 3. train-step A/B: opcount set ==="
+timeout 3600 python -u tools/ab_forward.py --set opcount --train --iters 3 \
   --rounds 3 > /tmp/q_ab_train.log 2>&1
 say "ab train rc=$?"
 
