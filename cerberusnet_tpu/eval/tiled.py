@@ -57,7 +57,8 @@ def _tri_window(n: int):
     return ramp / ramp.max()
 
 
-def tiled_forward(forward, variables, batch, tile_hw, overlap: float = 0.25):
+def tiled_forward(forward, variables, batch, tile_hw, overlap: float = 0.25,
+                  batch_tiles: bool = False):
     """Run ``forward`` over overlapping tiles and blend.
 
     forward: trainer-style ``forward(variables, batch) -> outputs dict``;
@@ -66,6 +67,9 @@ def tiled_forward(forward, variables, batch, tile_hw, overlap: float = 0.25):
     batch:   dict of (B, H, W, 3) inputs (left / right / temporal ...)
     tile_hw: (th, tw) window fed to the model (its compile shape)
     overlap: fraction of the tile shared between neighbours (0..0.9)
+    batch_tiles: run every window in ONE forward call at batch b*ntiles
+             (identical math; one dispatch; costs ntiles x the activation
+             memory — use when the tile count and model fit HBM)
 
     Returns averaged full-res ``seg_logits`` / ``flow`` / ``disp`` (f32).
     """
@@ -79,38 +83,63 @@ def tiled_forward(forward, variables, batch, tile_hw, overlap: float = 0.25):
     wmask = jnp.asarray(np.outer(wy, wx))[None, :, :, None]  # (1, th, tw, 1)
 
     jit_forward = _jitted(forward)
+    positions = [
+        (y0, x0) for y0 in _starts(h, th, sy) for x0 in _starts(w, tw, sx)
+    ]
+
+    # batch_tiles: run ALL windows as one forward at batch b*ntiles — one
+    # dispatch instead of ntiles (each dispatch costs wall time on remote
+    # backends) and better chip utilization at small tile sizes. Identical
+    # math: convolutions are independent across the batch axis.
+    outs = None
+    if batch_tiles and len(positions) > 1:
+        stacked = {
+            k: jnp.concatenate(
+                [v[:, y0 : y0 + th, x0 : x0 + tw] for (y0, x0) in positions],
+                axis=0,
+            )
+            for k, v in batch.items()
+        }
+        big = jit_forward(variables, stacked)
+        outs = [
+            {k: v[i * b : (i + 1) * b] for k, v in big.items()}
+            for i in range(len(positions))
+        ]
+
     total: dict = {}
     weight = jnp.zeros((1, h, w, 1), jnp.float32)
-    for y0 in _starts(h, th, sy):
-        for x0 in _starts(w, tw, sx):
+    for ti, (y0, x0) in enumerate(positions):
+        if outs is not None:
+            out = outs[ti]
+        else:
             tile = {
                 k: v[:, y0 : y0 + th, x0 : x0 + tw] for k, v in batch.items()
             }
             out = jit_forward(variables, tile)
-            weight = jax.lax.dynamic_update_slice(
-                weight,
-                jax.lax.dynamic_slice(
-                    weight, (0, y0, x0, 0), (1, min(th, h), min(tw, w), 1)
+        weight = jax.lax.dynamic_update_slice(
+            weight,
+            jax.lax.dynamic_slice(
+                weight, (0, y0, x0, 0), (1, min(th, h), min(tw, w), 1)
+            )
+            + wmask,
+            (0, y0, x0, 0),
+        )
+        for key in ("seg_logits", "flow", "disp"):
+            if key not in out:
+                continue
+            o = out[key].astype(jnp.float32) * wmask
+            if key not in total:
+                total[key] = jnp.zeros(
+                    (b, h, w, o.shape[-1]), jnp.float32
                 )
-                + wmask,
+            total[key] = jax.lax.dynamic_update_slice(
+                total[key],
+                jax.lax.dynamic_slice(
+                    total[key],
+                    (0, y0, x0, 0),
+                    (b, min(th, h), min(tw, w), o.shape[-1]),
+                )
+                + o,
                 (0, y0, x0, 0),
             )
-            for key in ("seg_logits", "flow", "disp"):
-                if key not in out:
-                    continue
-                o = out[key].astype(jnp.float32) * wmask
-                if key not in total:
-                    total[key] = jnp.zeros(
-                        (b, h, w, o.shape[-1]), jnp.float32
-                    )
-                total[key] = jax.lax.dynamic_update_slice(
-                    total[key],
-                    jax.lax.dynamic_slice(
-                        total[key],
-                        (0, y0, x0, 0),
-                        (b, min(th, h), min(tw, w), o.shape[-1]),
-                    )
-                    + o,
-                    (0, y0, x0, 0),
-                )
     return {k: v / weight for k, v in total.items()}

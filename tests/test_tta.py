@@ -260,3 +260,22 @@ class TestTiledInference:
         assert out["flow"].shape == (1, 128, 128, 2)
         for k in out:
             assert np.isfinite(np.asarray(out[k])).all(), k
+
+    def test_batch_tiles_matches_sequential(self):
+        """batch_tiles=True (all windows in one forward at batch b*ntiles)
+        produces the same blended output as the sequential path."""
+        from cerberusnet_tpu.eval import tiled_forward
+
+        def forward(variables, batch):
+            x = batch["left"]
+            return {"seg_logits": x * 2.0 + 1.0, "flow": x[..., :2] - 0.5,
+                    "disp": x[..., :1] * 3.0}
+
+        b = _batch(h=40, w=56)
+        seq = tiled_forward(forward, {}, b, tile_hw=(16, 24), overlap=0.25)
+        bat = tiled_forward(forward, {}, b, tile_hw=(16, 24), overlap=0.25,
+                            batch_tiles=True)
+        for k in ("seg_logits", "flow", "disp"):
+            np.testing.assert_allclose(
+                np.asarray(bat[k]), np.asarray(seq[k]), rtol=1e-5, atol=1e-5
+            )

@@ -81,26 +81,29 @@ def main():
     big = make_batch(1, h, w)
     tile_hw = (th, tw)
 
-    def run():
-        out = tiled_forward(forward, variables, big, tile_hw, args.overlap)
-        # fetch one scalar per head to force completion
-        return float(
-            sum(v.astype(jnp.float32).mean() for v in out.values())
-        )
-
-    run()  # compile + warmup
-    best = float("inf")
-    for _ in range(args.repeats):
-        t0 = time.time()
-        run()
-        best = min(best, time.time() - t0)
     ntiles = len(range(0, h - th, int(th * (1 - args.overlap)))) + 1
     ntiles *= len(range(0, w - tw, int(tw * (1 - args.overlap)))) + 1
-    print(
-        f"tiled {h}x{w} (tile {th}x{tw}, overlap {args.overlap}, ~{ntiles} "
-        f"tiles): {best * 1e3:.1f} ms/frame = {1 / best:.2f} fps "
-        f"(includes per-call dispatch; tiles pipeline async)"
-    )
+    for batch_tiles in (False, True):
+        def run():
+            out = tiled_forward(forward, variables, big, tile_hw,
+                                args.overlap, batch_tiles=batch_tiles)
+            # fetch one scalar per head to force completion
+            return float(
+                sum(v.astype(jnp.float32).mean() for v in out.values())
+            )
+
+        run()  # compile + warmup
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.time()
+            run()
+            best = min(best, time.time() - t0)
+        mode = "batched-tiles" if batch_tiles else "sequential"
+        print(
+            f"tiled {h}x{w} (tile {th}x{tw}, overlap {args.overlap}, "
+            f"~{ntiles} tiles, {mode}): {best * 1e3:.1f} ms/frame = "
+            f"{1 / best:.2f} fps"
+        )
 
 
 if __name__ == "__main__":
