@@ -19,6 +19,12 @@ def main(argv=None):
     )
     ap.add_argument("--config", required=True, help="path to ExperimentConfig JSON")
     ap.add_argument("--eval-only", action="store_true", help="run evaluation only")
+    ap.add_argument(
+        "--predict-dir", default=None, metavar="DIR",
+        help="run inference over the eval split and write benchmark-format "
+        "predictions (KITTI 16-bit flow/disparity PNGs, Cityscapes labelId "
+        "semantics) into DIR, then exit",
+    )
     ap.add_argument("--ckpt-dir", default=None, help="override train.ckpt_dir")
     ap.add_argument(
         "--profile", default=None, metavar="DIR",
@@ -57,6 +63,10 @@ def main(argv=None):
     if args.export_dir:
         out = trainer.export(args.export_dir, quant=args.quant)
         print(f"exported AOT artifact to {out}")
+        return 0
+    if args.predict_dir:
+        made = trainer.predict_to_dir(args.predict_dir)
+        print(f"wrote {len(made)} prediction files to {args.predict_dir}")
         return 0
     if args.eval_only:
         print(json.dumps(trainer.evaluate(), indent=2))

@@ -459,6 +459,29 @@ class Trainer:
             metrics = self._eval_step(self.state, metrics, batch)
         return metrics.compute()
 
+    def predict_to_dir(self, out_dir: str, loader: Optional[DataLoader] = None):
+        """Run inference over the eval split and write benchmark-format
+        prediction files (eval/submission.py: KITTI 16-bit flow/disparity
+        PNGs, Cityscapes labelId semantics). Uses the EMA weights when
+        present, like evaluate(). Returns the list of files written."""
+        from cerberusnet_tpu.eval.submission import write_predictions
+
+        loader = self._eval_loader(loader)
+        fwd = jax.jit(self.forward)
+        params = {"params": self._eval_params(self.state)}
+        made = []
+        idx = 0
+        for batch in loader:
+            n = len(next(iter(batch.values())))  # true rows before padding
+            prep = self._prep_eval_batch(batch)
+            prep.pop("_sample_mask", None)
+            out = fwd(params, prep)
+            out = {k: v[:n] for k, v in out.items() if hasattr(v, "ndim")}
+            names = [f"{idx + i:06d}_10" for i in range(n)]
+            idx += n
+            made += write_predictions(out, out_dir, names)
+        return made
+
     def evaluate_tta(
         self,
         scales=(0.75, 1.0, 1.25),

@@ -62,3 +62,33 @@ def test_write_predictions_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(
             trainids, outputs["seg_logits"][i].argmax(-1)
         )
+
+
+def test_trainer_predict_to_dir(tmp_path):
+    """Trainer.predict_to_dir writes one benchmark file per head per eval
+    sample (odd-sized last batch included), decodable by the dataset
+    decoders."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from cerberusnet_tpu.train.config import ExperimentConfig
+    from cerberusnet_tpu.train.trainer import Trainer
+
+    cfg = ExperimentConfig()
+    cfg.model.encoder_channels = (8, 12, 16, 16, 16, 16)
+    cfg.model.estimator_channels = (16, 16, 12)
+    cfg.model.context_channels = (16, 16)
+    cfg.model.corr_impl = "pure"
+    cfg.data.dataset = "synthetic"
+    cfg.data.hw = (64, 128)
+    cfg.data.synthetic_length = 5  # odd vs batch 2: last batch is partial
+    cfg.data.batch_size = 2
+    cfg.train.num_data_devices = 1  # conftest exposes 8 fake devices
+    t = Trainer(cfg)
+    made = t.predict_to_dir(str(tmp_path))
+    assert len(made) == 3 * 5
+    flow, valid = decode_kitti_flow(
+        read_png16(str(tmp_path / "flow" / "000004_10.png"))
+    )
+    assert flow.shape == (64, 128, 2) and np.isfinite(flow).all()
+    assert valid.min() == 1.0
