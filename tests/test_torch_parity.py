@@ -68,3 +68,61 @@ class TestTorchParity:
         model, variables, tmodel, imgs = parity_pair
         jout = jax.jit(model.apply)(variables, *imgs)
         assert float(jnp.abs(jout["seg_logits"]).max()) > 1e-3
+
+
+class TestTorchImport:
+    """torch -> flax weight import (tools/parity.py import_cerberus): a
+    freshly-initialized TorchCerberus imported into flax matches the torch
+    forward — the migration path for users bringing torch weights."""
+
+    def test_import_matches_torch_forward(self):
+        from tools.parity import import_cerberus
+
+        torch.manual_seed(3)
+        tmodel = TorchCerberus(
+            enc=TINY["encoder_channels"],
+            est=TINY["est_channels"],
+            ctx=TINY["ctx_channels"],
+            fpn=TINY["fpn_channels"],
+            num_classes=7,
+        ).eval()
+        model = CerberusNet(corr_impl="pure", num_classes=7, **TINY)
+        rng = np.random.RandomState(1)
+        imgs = tuple(
+            jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32) for _ in range(3)
+        )
+        template = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
+        variables = import_cerberus(tmodel, template)
+        jout = jax.jit(model.apply)(variables, *imgs)
+        with torch.no_grad():
+            tout = tmodel(
+                *[torch.tensor(np.asarray(im)).permute(0, 3, 1, 2) for im in imgs]
+            )
+        for key in ("seg_logits", "flow", "disp"):
+            tv = tout[key].permute(0, 2, 3, 1).numpy()
+            jv = np.asarray(jout[key], np.float32)
+            scale = max(np.abs(tv).max(), 1e-3)
+            assert np.abs(tv - jv).max() / scale < 2e-3, key
+
+    def test_roundtrip_exact(self):
+        """flax -> torch -> flax returns the original params bit-exactly
+        (same permutes/flips, no arithmetic)."""
+        from tools.parity import import_cerberus
+
+        model = CerberusNet(corr_impl="pure", num_classes=7, **TINY)
+        rng = np.random.RandomState(2)
+        imgs = tuple(
+            jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32) for _ in range(3)
+        )
+        variables = jax.jit(model.init)(jax.random.PRNGKey(4), *imgs)
+        tmodel = TorchCerberus(
+            enc=TINY["encoder_channels"],
+            est=TINY["est_channels"],
+            ctx=TINY["ctx_channels"],
+            fpn=TINY["fpn_channels"],
+            num_classes=7,
+        ).eval()
+        transfer_cerberus(variables, tmodel)
+        back = import_cerberus(tmodel, variables)
+        for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
