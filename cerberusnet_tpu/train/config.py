@@ -93,6 +93,9 @@ class LossConfig:
     robust_q: Optional[float] = None
     photometric_weight: float = 0.0
     smoothness_weight: float = 0.0
+    # Region-Mutual-Information mix for the seg term (SURVEY.md §3 C11
+    # 'focal/RMI variants'): seg = (1-w)*CE + w*RMI; 0.0 = plain CE.
+    rmi_weight: float = 0.0
     # Kendall-style homoscedastic task weighting (SURVEY.md §9.6 variant):
     # learnable per-task log-variances replace the fixed weights.
     uncertainty_weighting: bool = False

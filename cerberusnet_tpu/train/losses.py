@@ -59,6 +59,75 @@ def segmentation_loss(logits, labels, ignore_index: int = 255, focal_gamma=None)
 
 # ---------------------------------------------------------------------------
 # Flow
+def rmi_loss(
+    logits,
+    labels,
+    ignore_index: int = 255,
+    pool_stride: int = 4,
+    radius: int = 3,
+    eps: float = 5e-4,
+):
+    """Region Mutual Information loss (SURVEY.md §3 C11 'CE w/ ignore-index
+    (+ focal/RMI variants)'; Zhao et al., NeurIPS 2019).
+
+    Treats each pixel together with its (radius x radius) neighbourhood as a
+    multivariate distribution and minimizes the log-determinant of the
+    conditional covariance of the one-hot GT regions given the predicted
+    probability regions — a lower bound on -I(Y; P). All linear algebra is
+    over tiny (R x R, R = radius^2) matrices batched over (batch, class):
+    einsum + cholesky, fully jittable with static shapes.
+
+    logits: (B, H, W, C) float; labels: (B, H, W) int (255 = ignore).
+    pool_stride: spatial downsample before region extraction (avg-pool for
+    probabilities, max-pool for the one-hot GT — class presence survives).
+    Returns a scalar; lower is better (0-ish for perfect confident preds).
+    """
+    logits = logits.astype(jnp.float32)
+    num_classes = logits.shape[-1]
+    valid = (labels != ignore_index).astype(jnp.float32)[..., None]
+    safe_labels = jnp.where(labels == ignore_index, 0, labels)
+    y = jax.nn.one_hot(safe_labels, num_classes, dtype=jnp.float32) * valid
+    p = jax.nn.softmax(logits, axis=-1) * valid
+
+    if pool_stride > 1:
+        s = pool_stride
+        window = (1, s, s, 1)
+        p = jax.lax.reduce_window(
+            p, 0.0, jax.lax.add, window, window, "VALID"
+        ) / float(s * s)
+        y = jax.lax.reduce_window(y, 0.0, jax.lax.max, window, window, "VALID")
+
+    # (radius x radius) shifted crops -> region vectors (B, C, R, N).
+    b, h, w, c = p.shape
+    hh, ww = h - radius + 1, w - radius + 1
+    crops_y, crops_p = [], []
+    for i in range(radius):
+        for j in range(radius):
+            crops_y.append(y[:, i : i + hh, j : j + ww, :])
+            crops_p.append(p[:, i : i + hh, j : j + ww, :])
+    # stack -> (B, R, hh, ww, C) -> (B, C, R, N)
+    ym = jnp.stack(crops_y, 1).transpose(0, 4, 1, 2, 3).reshape(b, c, radius * radius, -1)
+    pm = jnp.stack(crops_p, 1).transpose(0, 4, 1, 2, 3).reshape(b, c, radius * radius, -1)
+    n = ym.shape[-1]
+    ym = ym - jnp.mean(ym, axis=-1, keepdims=True)
+    pm = pm - jnp.mean(pm, axis=-1, keepdims=True)
+
+    cov_yy = jnp.einsum("bcrn,bcsn->bcrs", ym, ym) / n
+    cov_yp = jnp.einsum("bcrn,bcsn->bcrs", ym, pm) / n
+    cov_pp = jnp.einsum("bcrn,bcsn->bcrs", pm, pm) / n
+    r = radius * radius
+    eye = jnp.eye(r, dtype=jnp.float32)
+    # sigma_{y|p} = cov_yy - cov_yp (cov_pp + eps I)^-1 cov_yp^T
+    inv_term = jnp.linalg.solve(cov_pp + eps * eye, jnp.swapaxes(cov_yp, -1, -2))
+    sigma = cov_yy - cov_yp @ inv_term + eps * eye
+    chol = jnp.linalg.cholesky(sigma)
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.maximum(jnp.diagonal(chol, axis1=-2, axis2=-1), 1e-8)), axis=-1
+    )
+    # 0.5 logdet per (b, c), normalized by region size as in the paper.
+    return jnp.mean(0.5 * logdet) / float(r)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -212,7 +281,8 @@ def multiscale_disparity_loss(
 
 
 def joint_loss(outputs, batch, weights=None, focal_gamma=None, robust_q=None,
-               photometric_weight: float = 0.0, smoothness_weight: float = 0.0):
+               photometric_weight: float = 0.0, smoothness_weight: float = 0.0,
+               rmi_weight: float = 0.0):
     """Weighted multi-task loss (SURVEY.md §3 C11 'joint weighted sum').
 
     Tasks contribute only when both the model output and the GT are
@@ -227,6 +297,12 @@ def joint_loss(outputs, batch, weights=None, focal_gamma=None, robust_q=None,
         comps["seg"] = segmentation_loss(
             outputs["seg_logits"], batch["seg_labels"], focal_gamma=focal_gamma
         )
+        if rmi_weight:
+            # Mix as in the RMI paper: (1-w)*CE + w*RMI.
+            comps["rmi"] = rmi_loss(outputs["seg_logits"], batch["seg_labels"])
+            comps["seg"] = (1.0 - rmi_weight) * comps["seg"] + (
+                rmi_weight * comps["rmi"]
+            )
         total = total + weights.get("seg", 1.0) * comps["seg"]
     if "flow_gt" in batch and "flow_pyramid" in outputs:
         comps["flow"] = multiscale_flow_loss(

@@ -276,6 +276,10 @@ class Trainer:
             return SyntheticPerceptionDataset(
                 length=d.synthetic_length,
                 hw=tuple(d.hw),
+                # Labels must live in the model's class range — a 19-class
+                # default against a smaller model head makes CE silently NaN
+                # (out-of-range take_along_axis).
+                num_classes=self.config.model.num_classes,
                 sparse=d.synthetic_sparse,
                 seed=1 if split == "val" else 0,
             )
@@ -371,6 +375,7 @@ class Trainer:
             robust_q=cfg.robust_q,
             photometric_weight=cfg.photometric_weight,
             smoothness_weight=cfg.smoothness_weight,
+            rmi_weight=cfg.rmi_weight,
         )
         if log_vars is not None:
             total = losses_lib.uncertainty_weighted_total(comps, log_vars)

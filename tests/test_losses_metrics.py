@@ -35,6 +35,62 @@ class TestSegmentationLoss:
         assert focal < plain
 
 
+class TestRMILoss:
+    """Region Mutual Information seg loss (SURVEY.md §3 C11 RMI variant):
+    region-level statistics, so correct-but-misregioned predictions cost
+    more than pixel CE alone would say."""
+
+    def _case(self, seed=0, h=32, w=32, c=5):
+        rng = np.random.RandomState(seed)
+        labels = jnp.asarray(rng.randint(0, c, (2, h, w)), jnp.int32)
+        return labels, c
+
+    def test_confident_correct_beats_random(self):
+        labels, c = self._case()
+        good = 20.0 * jax.nn.one_hot(labels, c)
+        rng = np.random.RandomState(1)
+        bad = jnp.asarray(rng.randn(2, 32, 32, c), jnp.float32)
+        lg = float(losses.rmi_loss(good, labels, pool_stride=2))
+        lb = float(losses.rmi_loss(bad, labels, pool_stride=2))
+        assert np.isfinite(lg) and np.isfinite(lb)
+        assert lg < lb
+
+    def test_gradients_finite_and_nonzero(self):
+        labels, c = self._case(seed=2)
+        logits = jnp.asarray(np.random.RandomState(3).randn(2, 32, 32, c), jnp.float32)
+        g = jax.grad(lambda lg: losses.rmi_loss(lg, labels, pool_stride=2))(logits)
+        g = np.asarray(g)
+        assert np.all(np.isfinite(g))
+        assert np.abs(g).max() > 0
+
+    def test_all_ignored_is_finite(self):
+        labels = jnp.full((1, 16, 16), 255, jnp.int32)
+        logits = jnp.asarray(np.random.RandomState(4).randn(1, 16, 16, 4), jnp.float32)
+        val = float(losses.rmi_loss(logits, labels, pool_stride=2))
+        assert np.isfinite(val)
+
+    def test_joint_loss_mixes_rmi(self):
+        labels, c = self._case(seed=5, h=16, w=16, c=4)
+        logits = jnp.asarray(np.random.RandomState(6).randn(2, 16, 16, c), jnp.float32)
+        outputs = {"seg_logits": logits}
+        batch = {"seg_labels": labels}
+        _, plain = losses.joint_loss(outputs, batch)
+        _, mixed = losses.joint_loss(outputs, batch, rmi_weight=0.5)
+        assert "rmi" in mixed and "rmi" not in plain
+        expected = 0.5 * float(plain["seg"]) + 0.5 * float(mixed["rmi"])
+        np.testing.assert_allclose(float(mixed["seg"]), expected, rtol=1e-5)
+
+    def test_jittable(self):
+        labels, c = self._case(seed=7, h=16, w=16, c=4)
+        logits = jnp.asarray(np.random.RandomState(8).randn(2, 16, 16, c), jnp.float32)
+        f = jax.jit(lambda lg: losses.rmi_loss(lg, labels, pool_stride=2))
+        np.testing.assert_allclose(
+            float(f(logits)),
+            float(losses.rmi_loss(logits, labels, pool_stride=2)),
+            rtol=1e-5,
+        )
+
+
 class TestFlowLoss:
     def test_zero_for_perfect(self):
         gt = jnp.ones((1, 16, 16, 2), jnp.float32) * 8.0
