@@ -74,6 +74,20 @@ class TestTrainStep:
         comps = trainer.train_step(batch)
         assert {"seg", "flow", "disp", "total"} <= set(comps)
 
+    def test_nondefault_num_classes_labels_in_range(self):
+        """model.num_classes != 19 on the synthetic dataset: labels must
+        stay inside the model's class range — out-of-range labels made CE
+        silently NaN (take_along_axis OOB) before the trainer forwarded
+        num_classes into SyntheticPerceptionDataset."""
+        cfg = tiny_config()
+        cfg.model.num_classes = 7
+        t = Trainer(cfg)
+        batch = next(iter(DataLoader(t.dataset, batch_size=2, num_workers=1)))
+        labels = np.asarray(batch["seg_labels"])
+        assert labels.max() < 7
+        comps = t.train_step(batch)
+        assert np.isfinite(float(comps["seg"]))
+
     def test_evaluate_returns_metrics(self, trainer):
         out = trainer.evaluate()
         for key in ("miou", "flow_epe", "disp_mae"):
