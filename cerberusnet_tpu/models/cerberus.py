@@ -42,6 +42,7 @@ class CerberusNet(nn.Module):
     fused: bool = True  # fused estimator+prediction convs (identical math)
     corr_stack: str = "major"  # cost-volume assembly (ops/correlation.py)
     distribute_outputs: bool = True  # skip estimator output-stack concats
+    upfeat_impl: str = "convt"  # convt | subpixel (identical math, A/B knob)
     batched_encoder: bool = False  # one B*3 encoder pass (identical math)
     s2d_stem: bool = False  # space-to-depth level-1 conv (identical math)
     seg_head: str = "fpn"  # fpn | aspp (models/segmentation.py factory)
@@ -84,6 +85,7 @@ class CerberusNet(nn.Module):
             fused=self.fused,
             corr_stack=self.corr_stack,
             distribute_outputs=self.distribute_outputs,
+            upfeat_impl=self.upfeat_impl,
             dtype=self.dtype,
         )(f_left, f_right)
         flow_out = FlowDecoder(
@@ -94,6 +96,7 @@ class CerberusNet(nn.Module):
             fused=self.fused,
             corr_stack=self.corr_stack,
             distribute_outputs=self.distribute_outputs,
+            upfeat_impl=self.upfeat_impl,
             dtype=self.dtype,
         )(f_left, f_temporal)
         seg_logits = make_seg_head(

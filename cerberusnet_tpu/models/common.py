@@ -151,6 +151,56 @@ def conv_over_components(comps, kernel, bias, dtype, dilation: int = 1):
     return acc + bias.astype(dtype)
 
 
+def conv_transpose_subpixel(comps, kernel, bias, dtype):
+    """``conv_transpose(concat(comps, -1), k4x4, strides (2,2), SAME)`` as a
+    stride-1 VALID conv + depth-to-space (subpixel decomposition), distributed
+    over the components like conv_transpose_over_components.
+
+    Motivation (VERDICT r1 item 2): lax.conv_transpose lowers to an
+    lhs-dilated convolution, a suspected source of the ~3.8 ms/frame XLA
+    layout copies in the round-1 profile. The subpixel form is a dense
+    stride-1 convolution the MXU tiles natively. Math: with SAME padding at
+    stride 2 the transposed conv reduces per dimension to
+      y[2q]   = x[q-1]*K[0] + x[q]*K[2]
+      y[2q+1] = x[q]  *K[1] + x[q+1]*K[3]
+    so each of the 4 output phases is a 2x2 sub-kernel correlation; embedding
+    the sub-kernels in a 3x3 window (zero tap per dim) makes all phases one
+    conv over the 1-padded input, interleaved back by depth-to-space.
+    Verified equal to lax.conv_transpose to fp-reassociation tolerance
+    (tests/test_fused_estimator.py)."""
+    cout = kernel.shape[3]
+
+    def sub(ph_h, ph_w, ksl):
+        ih = (0, 2) if ph_h == 0 else (1, 3)
+        iw = (0, 2) if ph_w == 0 else (1, 3)
+        k2 = ksl[jnp.array(ih)][:, jnp.array(iw)]  # (2,2,cin_c,cout)
+        pads = (
+            (0, 1) if ph_h == 0 else (1, 0),
+            (0, 1) if ph_w == 0 else (1, 0),
+        )
+        return jnp.pad(k2, (pads[0], pads[1], (0, 0), (0, 0)))
+
+    acc = None
+    off = 0
+    for c in comps:
+        n = c.shape[-1]
+        ksl = kernel[:, :, off : off + n, :].astype(dtype)
+        ksub = jnp.concatenate(
+            [sub(a, b, ksl) for a in (0, 1) for b in (0, 1)], axis=-1
+        )  # (3,3,cin_c,4*cout)
+        xp = jnp.pad(c.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xp, ksub, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        acc = y if acc is None else acc + y
+        off += n
+    b, h, w, _ = acc.shape
+    acc = acc + jnp.tile(bias.astype(dtype), 4)
+    acc = acc.reshape(b, h, w, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    return acc.reshape(b, 2 * h, 2 * w, cout)
+
+
 def conv_transpose_over_components(comps, kernel, bias, strides, dtype):
     """``conv_transpose(concat(comps, -1), kernel) + bias`` distributed over
     the components (same linearity as conv_over_components). Mirrors flax

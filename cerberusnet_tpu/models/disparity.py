@@ -27,6 +27,7 @@ from cerberusnet_tpu.models.common import (
     FusedDenseEstimator,
     _ConvMirror,
     conv_transpose_over_components,
+    conv_transpose_subpixel,
     leaky,
     upsample2x,
 )
@@ -48,6 +49,7 @@ class DisparityDecoder(nn.Module):
     # perf knobs, bit-identical math (A/B'd in tools/ab_forward.py):
     corr_stack: str = "major"  # cost-volume assembly (ops/correlation.py)
     distribute_outputs: bool = True  # skip estimator output-stack concat
+    upfeat_impl: str = "convt"  # convt | subpixel (identical math, A/B knob)
     dtype: jnp.dtype = jnp.float32
 
     def level_max_disp(self, level: int) -> int:
@@ -111,9 +113,16 @@ class DisparityDecoder(nn.Module):
                     self.up_feat_channels, stack_ch, kernel_size=(4, 4),
                     name=f"ConvTranspose_{i}",
                 )()
-                up_feat = leaky(
-                    conv_transpose_over_components(x, kt, bt, (2, 2), self.dtype)
-                )
+                if self.upfeat_impl == "subpixel":
+                    up_feat = leaky(
+                        conv_transpose_subpixel(x, kt, bt, self.dtype)
+                    )
+                else:
+                    up_feat = leaky(
+                        conv_transpose_over_components(
+                            x, kt, bt, (2, 2), self.dtype
+                        )
+                    )
             else:
                 up_feat = leaky(
                     nn.ConvTranspose(

@@ -34,6 +34,7 @@ class ModelConfig:
     # perf knobs, A/B'd in tools/ab_forward.py.
     corr_stack: str = "major"
     distribute_outputs: bool = True
+    upfeat_impl: str = "convt"  # convt | subpixel (models/common.py)
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
 
     @property

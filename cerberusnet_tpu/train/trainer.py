@@ -84,6 +84,7 @@ def build_model(cfg: ModelConfig):
             seg_head=cfg.seg_head,
             corr_stack=cfg.corr_stack,
             distribute_outputs=cfg.distribute_outputs,
+            upfeat_impl=cfg.upfeat_impl,
             **common,
         )
 

@@ -86,3 +86,53 @@ class TestFusedEquivalence:
             denom = np.linalg.norm(b) + 1e-8
             worst = max(worst, float(np.linalg.norm(a - b) / denom))
         assert worst < 1e-4, worst
+
+
+class TestSubpixelUpfeat:
+    """upfeat_impl='subpixel' (models/common.py conv_transpose_subpixel):
+    k4s2 SAME transposed conv as stride-1 conv + depth-to-space — same
+    params, same math to fp-reassociation tolerance."""
+
+    def test_op_matches_lax_conv_transpose(self):
+        from cerberusnet_tpu.models.common import conv_transpose_subpixel
+
+        rng = np.random.RandomState(0)
+        for h, w, cin, cout in ((6, 5, 3, 2), (8, 8, 16, 2), (7, 9, 4, 3)):
+            x = jnp.asarray(rng.randn(2, h, w, cin), jnp.float32)
+            k = jnp.asarray(rng.randn(4, 4, cin, cout), jnp.float32)
+            b = jnp.asarray(rng.randn(cout), jnp.float32)
+            ref = jax.lax.conv_transpose(x, k, (2, 2), "SAME") + b
+            got = conv_transpose_subpixel([x], k, b, jnp.float32)
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=2e-5
+            )
+
+    def test_op_distributes_over_components(self):
+        from cerberusnet_tpu.models.common import conv_transpose_subpixel
+
+        rng = np.random.RandomState(1)
+        a = jnp.asarray(rng.randn(1, 6, 6, 3), jnp.float32)
+        b_ = jnp.asarray(rng.randn(1, 6, 6, 5), jnp.float32)
+        k = jnp.asarray(rng.randn(4, 4, 8, 2), jnp.float32)
+        bias = jnp.asarray(rng.randn(2), jnp.float32)
+        whole = conv_transpose_subpixel([jnp.concatenate([a, b_], -1)], k, bias, jnp.float32)
+        split = conv_transpose_subpixel([a, b_], k, bias, jnp.float32)
+        np.testing.assert_allclose(np.asarray(split), np.asarray(whole), atol=2e-5)
+
+    def test_model_outputs_match_convt(self):
+        rng = np.random.RandomState(3)
+        imgs = tuple(
+            jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32) for _ in range(3)
+        )
+        ms = CerberusNet(upfeat_impl="subpixel", **TINY)
+        mc = CerberusNet(upfeat_impl="convt", **TINY)
+        v = jax.jit(ms.init)(jax.random.PRNGKey(0), *imgs)
+        vc = jax.jit(mc.init)(jax.random.PRNGKey(0), *imgs)
+        _trees_equal(v, vc)  # same param tree either way
+        os_ = jax.jit(ms.apply)(v, *imgs)
+        oc = jax.jit(mc.apply)(v, *imgs)
+        for k in ("seg_logits", "flow", "disp"):
+            a, b = np.asarray(os_[k]), np.asarray(oc[k])
+            rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
+            assert rel < 1e-5, (k, rel)

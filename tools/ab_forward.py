@@ -121,6 +121,13 @@ def main():
             "s2d": dict(s2d_stem=True),
             "purev+s2d": dict(corr_impl="purev", s2d_stem=True),
         },
+        # up-feat ConvTranspose formulations (VERDICT r1 item 2: suspected
+        # source of the layout copies; subpixel = stride-1 conv + d2s)
+        "upfeat": {
+            "convt (base)": dict(),
+            "subpixel": dict(upfeat_impl="subpixel"),
+            "subpixel+s2d": dict(upfeat_impl="subpixel", s2d_stem=True),
+        },
     }
 
     variants = variant_sets[args.variant_set]

@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-2 TPU queue, part 3: up-feat ConvTranspose vs subpixel A/B
+# (VERDICT r1 item 2 — the suspected layout-copy source). Waits for queue 2.
+set -u
+LOG=/tmp/tpu_queue3.log
+cd /root/repo
+say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
+
+QPID="${1:-}"
+if [ -n "$QPID" ]; then
+  say "=== waiting for queue2 (pid $QPID) ==="
+  while kill -0 "$QPID" 2>/dev/null; do sleep 60; done
+fi
+
+say "=== waiting for TPU tunnel ==="
+while true; do
+  if timeout 60 python -u -c "import jax; jax.devices()" >/dev/null 2>&1; then
+    say "TPU is up"; break
+  fi
+  sleep 120
+done
+
+say "=== upfeat A/B: forward ==="
+timeout 3600 python -u tools/ab_forward.py --set upfeat --rounds 3 \
+  > /tmp/q3_upfeat_fwd.log 2>&1
+say "upfeat fwd rc=$?"
+
+say "=== upfeat A/B: train step ==="
+timeout 3600 python -u tools/ab_forward.py --set upfeat --train --iters 3 \
+  --rounds 3 > /tmp/q3_upfeat_train.log 2>&1
+say "upfeat train rc=$?"
+
+say "=== queue3 complete ==="
