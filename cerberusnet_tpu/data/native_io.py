@@ -50,6 +50,14 @@ def _load():
     lib.cnt_png_free.argtypes = [ctypes.c_void_p]
     lib.cnt_png_error.restype = ctypes.c_char_p
     lib.cnt_png_error.argtypes = [ctypes.c_int]
+    lib.cnt_png_to_input.restype = ctypes.c_int
+    lib.cnt_png_to_input.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+        ctypes.c_int,
+        ctypes.c_void_p,
+    ]
     _lib = lib
     return lib
 
@@ -102,4 +110,32 @@ def decode_png(path: str) -> np.ndarray:
         lib.cnt_png_free(data)
     if out.shape[-1] == 1:
         out = out[..., 0]
+    return out
+
+
+def png_to_input(path: str, hw, dtype: str = "bfloat16") -> np.ndarray:
+    """Native decode + preprocess of an exact-size 8-bit PNG into the model
+    input tensor (1, H, W, 3): (x/255 - imagenet_mean)/std in f32, cast to
+    `dtype` (bfloat16 uses round-to-nearest-even). Matches the Python
+    path (data/io.py -> encodings.preprocess_image -> astype) to 2 f32 ULP
+    (XLA folds the divisions into reciprocal multiplies); the same C code
+    feeds the C++ PJRT runner's --pngs serving mode."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder not built (make -C native/dataload)")
+    h, w = hw
+    if dtype == "float32":
+        code, np_dtype = 0, np.float32
+    elif dtype == "bfloat16":
+        import ml_dtypes
+
+        code, np_dtype = 1, np.dtype(ml_dtypes.bfloat16)
+    else:
+        raise ValueError(f"unsupported dtype {dtype!r}")
+    out = np.empty((1, h, w, 3), np_dtype)
+    rc = lib.cnt_png_to_input(
+        os.fsencode(path), h, w, code, out.ctypes.data_as(ctypes.c_void_p)
+    )
+    if rc != 0:
+        raise ValueError(f"{path}: {lib.cnt_png_error(rc).decode()}")
     return out

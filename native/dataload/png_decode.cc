@@ -220,3 +220,66 @@ int cnt_png_decode(const char* path, void** data_out, uint32_t* height_out,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Model-input preparation: decode + normalize + cast, the C++ twin of
+// cerberusnet_tpu.data.encodings.preprocess_image (identical f32 arithmetic
+// and op order) feeding the fixed-shape exported graph. Used by the PJRT
+// runner's --pngs serving mode and bit-exactness-tested from Python over
+// ctypes (tests/test_native_decode.py).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr float kImagenetMean[3] = {0.485f, 0.456f, 0.406f};
+constexpr float kImagenetStd[3] = {0.229f, 0.224f, 0.225f};
+
+uint16_t f32_to_bf16_rne(float v) {
+  uint32_t bits;
+  std::memcpy(&bits, &v, 4);
+  bits += 0x7FFFu + ((bits >> 16) & 1u);  // round to nearest even
+  return static_cast<uint16_t>(bits >> 16);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode an 8-bit PNG at `path` (must be exactly want_h x want_w; gray
+// replicates to 3 channels, alpha is stripped), normalize to
+// (x/255 - imagenet_mean)/std in f32, and write the (1, H, W, 3) tensor to
+// `out` as float32 (dtype_code 0) or bfloat16 (dtype_code 1, round to
+// nearest even). `out` must hold want_h*want_w*3 elements. Returns 0 or a
+// cnt_png_error code; ERR_UNSUPPORTED_DEPTH doubles as the wrong-size /
+// wrong-depth signal with details unavailable at this ABI.
+int cnt_png_to_input(const char* path, uint32_t want_h, uint32_t want_w,
+                     int dtype_code, void* out) {
+  void* data = nullptr;
+  uint32_t h, w, ch, depth;
+  int rc = cnt_png_decode(path, &data, &h, &w, &ch, &depth);
+  if (rc != OK) return rc;
+  if (depth != 8 || h != want_h || w != want_w) {
+    cnt_png_free(data);
+    return ERR_UNSUPPORTED_DEPTH;
+  }
+  const uint8_t* px = static_cast<const uint8_t*>(data);
+  size_t n = size_t(h) * w;
+  float* out_f32 = static_cast<float*>(out);
+  uint16_t* out_bf16 = static_cast<uint16_t*>(out);
+  for (size_t i = 0; i < n; ++i) {
+    for (int c = 0; c < 3; ++c) {
+      // gray (ch=1) replicates; alpha channels (ch=2/4) are stripped
+      uint8_t u = ch == 1 ? px[i] : ch == 2 ? px[i * 2] : px[i * ch + c];
+      float v = (float(u) / 255.0f - kImagenetMean[c]) / kImagenetStd[c];
+      if (dtype_code == 0) {
+        out_f32[i * 3 + c] = v;
+      } else {
+        out_bf16[i * 3 + c] = f32_to_bf16_rne(v);
+      }
+    }
+  }
+  cnt_png_free(data);
+  return OK;
+}
+
+}  // extern "C"

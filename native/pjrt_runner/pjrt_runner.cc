@@ -20,6 +20,13 @@
 // --inputs: raw little-endian tensor files matching the manifest's input
 //   shapes/dtypes byte-for-byte (tools/runner_io.py converts .npy <-> .bin);
 //   without it inputs are zero-filled (benchmark mode).
+// --pngs: decode PNG image files with the framework's native decoder
+//   (native/dataload/png_decode.cc, linked in), normalize exactly like the
+//   training pipeline ((x/255 - imagenet_mean)/std, f32, then
+//   round-to-nearest-even cast to the manifest dtype) and feed them — the
+//   fully-native serving path: PNG in -> predictions out, zero Python.
+//   Images must match the exported (h, w) — artifacts are fixed-shape,
+//   like a serialized TensorRT engine.
 // --dump-outputs: write each output as DIR/output_<i>.bin plus
 //   DIR/outputs.json ({shape, dtype} per output) — the full C++ inference
 //   path: load artifact -> compile -> feed tensors -> collect predictions.
@@ -155,8 +162,39 @@ bool TryCheck(PJRT_Error* err, const char* what) {
 
 }  // namespace
 
+// native PNG decode+preprocess (native/dataload/png_decode.cc, linked in):
+// decodes an exact-size 8-bit PNG and writes the normalized (1, H, W, 3)
+// model input (f32 arithmetic identical to encodings.preprocess_image;
+// dtype_code 0 = float32, 1 = bfloat16 with round-to-nearest-even).
+extern "C" int cnt_png_to_input(const char* path, uint32_t want_h,
+                                uint32_t want_w, int dtype_code, void* out);
+extern "C" const char* cnt_png_error(int code);
+
+namespace {
+
+std::vector<char> PngToInput(const std::string& path, int64_t want_h,
+                             int64_t want_w, const std::string& dtype) {
+  int dtype_code;
+  size_t itemsize;
+  if (dtype == "float32") { dtype_code = 0; itemsize = 4; }
+  else if (dtype == "bfloat16") { dtype_code = 1; itemsize = 2; }
+  else { Die("--pngs supports float32/bfloat16 inputs, got " + dtype); return {}; }
+  std::vector<char> out(size_t(want_h) * want_w * 3 * itemsize);
+  int rc = cnt_png_to_input(path.c_str(), uint32_t(want_h), uint32_t(want_w),
+                            dtype_code, out.data());
+  if (rc != 0)
+    Die(path + ": " + cnt_png_error(rc) +
+        " (image must be an 8-bit PNG of exactly " + std::to_string(want_h) +
+        "x" + std::to_string(want_w) +
+        " — artifacts are fixed-shape, like a serialized TRT engine)");
+  return out;
+}
+
+}  // namespace
+
 int main(int argc, char** argv) {
   std::string plugin_path, model_path, inputs_arg, dump_dir, cache_dir;
+  std::string pngs_arg;
   int iters = 10;
   std::vector<std::pair<std::string, std::string>> opts;
   for (int i = 1; i < argc; ++i) {
@@ -169,6 +207,7 @@ int main(int argc, char** argv) {
     else if (a == "--model") model_path = next();
     else if (a == "--iters") iters = std::stoi(next());
     else if (a == "--inputs") inputs_arg = next();
+    else if (a == "--pngs") pngs_arg = next();
     else if (a == "--dump-outputs") dump_dir = next();
     else if (a == "--cache") cache_dir = next();
     else if (a == "--opt") {
@@ -181,12 +220,18 @@ int main(int argc, char** argv) {
   if (plugin_path.empty() || model_path.empty())
     Die("usage: pjrt_runner --plugin <pjrt_plugin.so> --model <export_dir> "
         "[--iters N] [--opt k=v ...] [--inputs a.bin,...] "
-        "[--dump-outputs DIR] [--cache DIR]");
-  std::vector<std::string> input_files;
+        "[--pngs a.png,b.png,...] [--dump-outputs DIR] [--cache DIR]");
+  std::vector<std::string> input_files, png_files;
   if (!inputs_arg.empty()) {
     std::stringstream ss(inputs_arg);
     std::string tok;
     while (std::getline(ss, tok, ',')) input_files.push_back(tok);
+  }
+  if (!pngs_arg.empty()) {
+    if (!inputs_arg.empty()) Die("--inputs and --pngs are exclusive");
+    std::stringstream ss(pngs_arg);
+    std::string tok;
+    while (std::getline(ss, tok, ',')) png_files.push_back(tok);
   }
 
   // ---- load plugin ----
@@ -354,6 +399,8 @@ int main(int argc, char** argv) {
   // ---- input buffers (zero-filled, or loaded from --inputs files) ----
   if (!input_files.empty() && input_files.size() != in_shapes.size())
     Die("--inputs count != manifest input count");
+  if (!png_files.empty() && png_files.size() != in_shapes.size())
+    Die("--pngs count != manifest input count");
   std::vector<PJRT_Buffer*> inputs;
   std::vector<std::vector<char>> host_data;
   for (size_t ii = 0; ii < in_shapes.size(); ++ii) {
@@ -362,7 +409,14 @@ int main(int argc, char** argv) {
     PJRT_Buffer_Type type = DtypeToPjrt(s.dtype, &itemsize);
     size_t n = itemsize;
     for (int64_t d : s.dims) n *= static_cast<size_t>(d);
-    if (!input_files.empty()) {
+    if (!png_files.empty()) {
+      if (s.dims.size() != 4 || s.dims[0] != 1 || s.dims[3] != 3)
+        Die("--pngs expects (1, H, W, 3) image inputs");
+      std::vector<char> px =
+          PngToInput(png_files[ii], s.dims[1], s.dims[2], s.dtype);
+      if (px.size() != n) Die("internal: png tensor size mismatch");
+      host_data.push_back(std::move(px));
+    } else if (!input_files.empty()) {
       std::string raw = ReadFile(input_files[ii]);
       if (raw.size() != n)
         Die("input " + input_files[ii] + " has " +

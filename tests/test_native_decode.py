@@ -80,3 +80,47 @@ class TestNativeDecode:
         np.testing.assert_array_equal(a_g16, b_g16)
         np.testing.assert_array_equal(a_rgb, rgb)
         np.testing.assert_array_equal(a_g16, g16)
+
+
+class TestNativePreprocess:
+    """cnt_png_to_input (the C++ serving path's decode+normalize+cast) vs
+    the Python pipeline (read_image_u8 -> encodings.preprocess_image ->
+    astype). The C++ does literal IEEE f32 (x/255 - m)/s; XLA folds the
+    divisions into reciprocal multiplies, so results agree to ~2 f32 ULP —
+    assert that bound, not bitwise equality."""
+
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_matches_python_pipeline_1ulp(self, tmp_path, dtype):
+        from cerberusnet_tpu.data import encodings
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, (48, 64, 3), np.uint8)
+        p = str(tmp_path / "frame.png")
+        data_io.write_image_u8(p, img)
+
+        native = native_io.png_to_input(p, (48, 64), dtype)
+        ref32 = np.asarray(
+            encodings.preprocess_image(data_io.read_image_u8(p)[None])
+        )
+        assert native.shape == ref32.shape == (1, 48, 64, 3)
+        if dtype == "float32":
+            # a-few-ULP bound (absolute floor for values near zero, where
+            # u/255 ~ imagenet_mean): catches any real defect (wrong channel
+            # order / constant / rounding mode) while tolerating XLA's
+            # reassociation of the two divisions
+            np.testing.assert_allclose(native, ref32, rtol=1e-6, atol=5e-7)
+        else:
+            ref = ref32.astype(native.dtype)
+            bits_n = native.view(np.uint16).astype(np.int32)
+            bits_r = ref.view(np.uint16).astype(np.int32)
+            ulp = np.abs(bits_n - bits_r)
+            assert ulp.max() <= 1  # rounding-boundary pixels only
+            assert (ulp == 0).mean() > 0.995
+
+    def test_wrong_size_rejected(self, tmp_path):
+        rng = np.random.RandomState(12)
+        data_io.write_image_u8(
+            str(tmp_path / "f.png"), rng.randint(0, 256, (8, 8, 3), np.uint8)
+        )
+        with pytest.raises(ValueError):
+            native_io.png_to_input(str(tmp_path / "f.png"), (16, 16))

@@ -86,21 +86,10 @@ def build_train_runner(model, variables, imgs, iters):
     return run
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--rounds", type=int, default=3)
-    ap.add_argument("--hw", type=int, nargs=2, default=(512, 1024))
-    ap.add_argument("--set", default="stack", dest="variant_set",
-                    help="which variant set to race (stack | corr)")
-    ap.add_argument("--train", action="store_true",
-                    help="race full train steps instead of forwards")
-    args = ap.parse_args()
-
-    from cerberusnet_tpu.models import CerberusNet
-
-    variant_sets = {
+def variant_sets():
+    """Named perf-knob variant sets shared by the A/B racer and the
+    HLO op-count census (tools/hlo_opcount.py)."""
+    return {
         "stack": {
             "r1 (minor, no-dist)": dict(corr_stack="minor", distribute_outputs=False),
             "corr-major only": dict(corr_stack="major", distribute_outputs=False),
@@ -130,7 +119,22 @@ def main():
         },
     }
 
-    variants = variant_sets[args.variant_set]
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--hw", type=int, nargs=2, default=(512, 1024))
+    ap.add_argument("--set", default="stack", dest="variant_set",
+                    help="which variant set to race (stack | corr)")
+    ap.add_argument("--train", action="store_true",
+                    help="race full train steps instead of forwards")
+    args = ap.parse_args()
+
+    from cerberusnet_tpu.models import CerberusNet
+
+    variants = variant_sets()[args.variant_set]
     h, w = args.hw
     imgs = tuple(
         jax.random.normal(jax.random.PRNGKey(i), (args.batch, h, w, 3), jnp.bfloat16)

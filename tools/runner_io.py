@@ -55,9 +55,11 @@ def read_outputs(dump_dir: str):
     ]
 
 
-def _run_native(export_dir, plugin, runner, paths, tmp, cache: str = ""):
+def _run_native(export_dir, plugin, runner, paths, tmp, cache: str = "",
+                pngs: bool = False):
     cmd = [runner, "--plugin", plugin, "--model", export_dir, "--iters", "1",
-           "--inputs", ",".join(paths), "--dump-outputs", tmp]
+           "--pngs" if pngs else "--inputs", ",".join(paths),
+           "--dump-outputs", tmp]
     if cache:
         cmd += ["--cache", cache]
     env = dict(os.environ)
@@ -141,6 +143,53 @@ def verify(export_dir: str, plugin: str, runner: str, seed: int = 0,
     return ok
 
 
+def verify_pngs(export_dir: str, plugin: str, runner: str, seed: int = 0,
+                rtol: float = 2e-2, atol: float = 2e-2) -> bool:
+    """End-to-end NATIVE serving equivalence: random PNGs decoded +
+    normalized + bf16-cast in C++ (pjrt_runner --pngs) vs the framework's
+    own Python path (data/io.py decode -> encodings.preprocess_image ->
+    dtype cast -> exported graph). Proves the zero-Python deploy path
+    computes the same predictions."""
+    import cv2
+
+    from cerberusnet_tpu.data import encodings
+    from cerberusnet_tpu.data import io as data_io
+    from cerberusnet_tpu.export.aot import load_exported
+
+    with open(os.path.join(export_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    rng = np.random.RandomState(seed)
+    tmp = os.path.join(export_dir, "_verify_png")
+    os.makedirs(tmp, exist_ok=True)
+    paths, ref_inputs = [], []
+    for i, spec in enumerate(manifest["inputs"]):
+        b, h, w, c = spec["shape"]
+        assert (b, c) == (1, 3), "png verify expects (1,H,W,3) inputs"
+        img = rng.randint(0, 256, (h, w, 3), np.uint8)
+        p = os.path.join(tmp, f"in_{i}.png")
+        cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        paths.append(p)
+        pre = np.asarray(
+            encodings.preprocess_image(data_io.read_image_u8(p)[None])
+        )
+        ref_inputs.append(pre.astype(_np_dtype(spec["dtype"])))
+
+    _run_native(export_dir, plugin, runner, paths, tmp, pngs=True)
+    native = read_outputs(tmp)
+    ref = load_exported(export_dir).call(*ref_inputs)
+    ok = True
+    for i, (n, r) in enumerate(zip(native, ref)):
+        n32, r32 = np.asarray(n, np.float32), np.asarray(r, np.float32)
+        rel = np.linalg.norm((n32 - r32).ravel()) / (
+            np.linalg.norm(r32.ravel()) + 1e-9
+        )
+        good = np.allclose(n32, r32, rtol=rtol, atol=atol)
+        print(f"png output {i}: shape {n32.shape} rel_l2 {rel:.2e} "
+              f"{'OK' if good else 'MISMATCH'}")
+        ok = ok and good
+    return ok
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -151,12 +200,18 @@ if __name__ == "__main__":
     v.add_argument("--plugin", default="/opt/axon/libaxon_pjrt.so")
     v.add_argument("--check-cache", action="store_true",
                    help="also verify the serialized-executable cache path")
+    v.add_argument("--pngs", action="store_true",
+                   help="verify the fully-native PNG serving path instead")
     v.add_argument(
         "--runner",
         default=os.path.join(os.path.dirname(__file__), "..", "native",
                              "pjrt_runner", "pjrt_runner"),
     )
     args = ap.parse_args()
+    if args.pngs:
+        sys.exit(
+            0 if verify_pngs(args.export_dir, args.plugin, args.runner) else 1
+        )
     sys.exit(
         0
         if verify(args.export_dir, args.plugin, args.runner,
