@@ -117,3 +117,36 @@ class TestFloorGuard:
         x = jnp.ones((8, 8), jnp.float32)
         with pytest.raises(FloorLimitedTiming):
             bu.time_fn(lambda a: a + 1, (x,), iters=1, max_iters=4)
+
+
+class TestHloCensus:
+    """tools/hlo_opcount.census: entry-computation-only instruction census."""
+
+    def test_counts_entry_only(self):
+        from tools.hlo_opcount import census
+
+        hlo = """\
+HloModule jit_f
+
+%fused_computation (p: f32[4]) -> f32[] {
+  %p = f32[4]{0} parameter(0)
+  %mul = f32[4]{0} multiply(%p, %p)
+  ROOT %r = f32[] reduce(%mul), dimensions={0}
+}
+
+ENTRY %main (x: f32[4], k: f32[3]) {
+  %x = f32[4]{0} parameter(0)
+  %k = f32[3]{0} parameter(1)
+  %conv.1 = f32[4]{0} convolution(%x, %k), window={size=3}
+  %copy = f32[4]{0} copy(%conv.1)
+  %fus = f32[] fusion(%copy), kind=kLoop, calls=%fused_computation
+  ROOT %tuple = (f32[], f32[4]{0}) tuple(%fus, %copy)
+}
+"""
+        c = census(hlo)
+        # fusion-body mul/reduce and parameters/tuple excluded
+        assert c["total"] == 3
+        assert c["convolution"] == 1
+        assert c["copy"] == 1
+        assert c["fusion"] == 1
+        assert "reduce" not in c
