@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-2 TPU queue, part 5: optimized-HLO op-count census on the REAL
+# backend (CPU census showed purev cutting entry ops 2082 -> 951; confirm
+# the ratio and the copy/transpose categories on TPU HLO). Waits for queue 4.
+set -u
+LOG=/tmp/tpu_queue5.log
+cd /root/repo
+say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
+
+QPID="${1:-}"
+if [ -n "$QPID" ]; then
+  say "=== waiting for queue4 (pid $QPID) ==="
+  while kill -0 "$QPID" 2>/dev/null; do sleep 60; done
+fi
+
+say "=== waiting for TPU tunnel ==="
+while true; do
+  if timeout 60 python -u -c "import jax; jax.devices()" >/dev/null 2>&1; then
+    say "TPU is up"; break
+  fi
+  sleep 120
+done
+
+say "=== TPU HLO census: opcount set ==="
+timeout 3600 python -u tools/hlo_opcount.py --set opcount \
+  > /tmp/q5_census_opcount.log 2>&1
+say "census opcount rc=$?"
+
+say "=== TPU HLO census: upfeat set ==="
+timeout 3600 python -u tools/hlo_opcount.py --set upfeat \
+  > /tmp/q5_census_upfeat.log 2>&1
+say "census upfeat rc=$?"
+
+say "=== queue5 complete ==="
