@@ -110,6 +110,10 @@ def variant_sets():
             "s2d": dict(s2d_stem=True),
             "purev+s2d": dict(corr_impl="purev", s2d_stem=True),
         },
+        # one-variant set for absolute measurements / censuses
+        "single": {
+            "base": dict(),
+        },
         # up-feat ConvTranspose formulations (VERDICT r1 item 2: suspected
         # source of the layout copies; subpixel = stride-1 conv + d2s)
         "upfeat": {

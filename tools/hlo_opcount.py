@@ -96,6 +96,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--train", action="store_true")
+    ap.add_argument("--flatten", action="store_true",
+                    help="train census with optax.flatten(adamw)")
     ap.add_argument("--set", default="opcount", dest="variant_set")
     ap.add_argument("--hw", type=int, nargs=2, default=(512, 1024))
     ap.add_argument("--batch", type=int, default=1)
@@ -129,6 +131,8 @@ def main():
             import optax
 
             tx = optax.adamw(1e-4)
+            if args.flatten:
+                tx = optax.flatten(tx)
             opt_state = tx.init(variables["params"])
 
             def step(v, os_, a, b, c, model=model, tx=tx):
