@@ -59,6 +59,10 @@ class DataConfig:
     flip_lr_prob: float = 0.0
     brightness: float = 0.0
     contrast: float = 0.0
+    # Random zoom: discrete scale set (e.g. [0.8, 1.0, 1.25]); each scale
+    # crops crop_hw/s and resizes to crop_hw with GT value rescaling.
+    # Requires crop_hw. Empty = off.
+    scales: Tuple[float, ...] = ()
 
 
 @dataclasses.dataclass

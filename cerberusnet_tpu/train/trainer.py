@@ -252,6 +252,7 @@ class Trainer:
             flip_lr_prob=d.flip_lr_prob,
             brightness=d.brightness,
             contrast=d.contrast,
+            scales=tuple(d.scales),
         )
         self._aug_rng = jax.random.PRNGKey(config.train.seed + 1)
         self.dataset = dataset if dataset is not None else self._build_dataset()
