@@ -8,6 +8,11 @@ from cerberusnet_tpu.data.encodings import (
 )
 from cerberusnet_tpu.data.synthetic import SyntheticPerceptionDataset
 from cerberusnet_tpu.data.loader import DataLoader
+from cerberusnet_tpu.data.flow_datasets import (
+    SintelDataset,
+    FlyingChairsDataset,
+    FlyingThings3DDataset,
+)
 
 __all__ = [
     "decode_kitti_flow",
@@ -18,4 +23,7 @@ __all__ = [
     "preprocess_image",
     "SyntheticPerceptionDataset",
     "DataLoader",
+    "SintelDataset",
+    "FlyingChairsDataset",
+    "FlyingThings3DDataset",
 ]

@@ -44,9 +44,11 @@ class ModelConfig:
 
 @dataclasses.dataclass
 class DataConfig:
-    dataset: str = "synthetic"  # synthetic | kitti | cityscapes
+    dataset: str = "synthetic"
+    # synthetic | kitti | cityscapes | sintel | flyingchairs | flyingthings3d
     root: str = ""
     split: str = "training"
+    render_pass: str = "clean"  # sintel: clean | final
     eval_split: Optional[str] = None  # e.g. "val" for cityscapes
     hw: Tuple[int, int] = (512, 1024)  # [BASELINE:L2] working resolution
     batch_size: int = 4

@@ -293,6 +293,18 @@ class Trainer:
             from cerberusnet_tpu.data.cityscapes import CityscapesDataset
 
             return CityscapesDataset(d.root, split)
+        if d.dataset == "sintel":
+            from cerberusnet_tpu.data.flow_datasets import SintelDataset
+
+            return SintelDataset(d.root, split, render_pass=d.render_pass)
+        if d.dataset == "flyingchairs":
+            from cerberusnet_tpu.data.flow_datasets import FlyingChairsDataset
+
+            return FlyingChairsDataset(d.root, split)
+        if d.dataset == "flyingthings3d":
+            from cerberusnet_tpu.data.flow_datasets import FlyingThings3DDataset
+
+            return FlyingThings3DDataset(d.root, split)
         raise ValueError(f"unknown dataset {d.dataset!r}")
 
     def _example_batch(self):
