@@ -199,14 +199,63 @@ def bench_train_step(batch=2, hw=(512, 1024), iters=5, flatten=False,
     return batch / sec  # training frames/sec/chip
 
 
+def _wait_for_device(budget_s: float) -> None:
+    """Block until the TPU tunnel answers, up to ``budget_s`` seconds.
+
+    The axon tunnel can wedge for long stretches (a stuck remote compile
+    holds the claim; CLAUDE.md rule 8), and a client that touches
+    jax.devices() then hangs indefinitely with no way to recover in-process.
+    Probing in short-lived SUBPROCESSES keeps this process's backend
+    uninitialized until a probe succeeds, so a transient wedge costs a wait
+    instead of the whole benchmark run. Exits nonzero with a clear message
+    if the budget runs out."""
+    import subprocess
+
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            ok = (
+                subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    timeout=60,
+                    capture_output=True,
+                ).returncode
+                == 0
+            )
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            if attempt > 1:
+                print(f"[bench] device up after {attempt} probes", file=sys.stderr)
+            return
+        if time.time() >= deadline:
+            print(
+                f"[bench] no device after {budget_s:.0f}s (tunnel wedged?) — "
+                "giving up",
+                file=sys.stderr,
+            )
+            raise SystemExit(3)
+        print("[bench] device probe failed; retrying in 60s", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="also write BENCH_details.json")
     ap.add_argument("--batch", type=int, default=1)  # measured best fps/chip (87 vs 77 at b2, 47 at b8): 1024x512 spatial already saturates the chip
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument(
+        "--wait-device",
+        type=float,
+        default=float(os.environ.get("CERBERUS_BENCH_WAIT_S", 1200)),
+        help="max seconds to wait for the TPU tunnel before giving up",
+    )
     args = ap.parse_args()
 
+    _wait_for_device(args.wait_device)
     details = {"device": str(jax.devices()[0]), "hw": [512, 1024]}
 
     fps = bench_full3head(batch=args.batch, iters=args.iters)
