@@ -5,6 +5,13 @@ from cerberusnet_tpu.quant.ptq import (
     quant_interception,
     quantization_error,
 )
+from cerberusnet_tpu.quant.qat import (
+    qat_apply,
+    qat_interception,
+    init_ema,
+    update_ema,
+    finalize,
+)
 
 __all__ = [
     "calibrate",
@@ -12,4 +19,9 @@ __all__ = [
     "quantized_apply",
     "quant_interception",
     "quantization_error",
+    "qat_apply",
+    "qat_interception",
+    "init_ema",
+    "update_ema",
+    "finalize",
 ]
