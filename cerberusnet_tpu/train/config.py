@@ -149,6 +149,14 @@ class TrainConfig:
     # TensorBoard event files (dependency-free writer, utils/tblogger.py)
     # under <ckpt_dir>/tb: step losses, eval metrics, prediction panels.
     tensorboard: bool = False
+    # Quantization-aware training (quant/qat.py): train/eval with int8
+    # fake-quant convs (TRT-style fixed ranges, calibrated on construction
+    # from qat_calib_batches batches; re-calibrated after resume). Forces
+    # the unfused estimator formulation (interception sees nn.Conv only;
+    # param trees are identical). export(quant='int8') then reuses the
+    # trained ranges instead of fresh PTQ calibration.
+    qat: bool = False
+    qat_calib_batches: int = 2
 
 
 @dataclasses.dataclass

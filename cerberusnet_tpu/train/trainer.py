@@ -217,6 +217,11 @@ class Trainer:
         if config.train.interpret_kernels and config.model.corr_impl is None:
             # force the pure (interpretable, bounds-exact) op path
             config.model.corr_impl = "pure"
+        if config.train.qat and getattr(config.model, "fused", False):
+            # QAT fake-quants convs via flax interception, which cannot see
+            # the fused estimator's raw-lax convs; the fused/unfused param
+            # trees are identical (tests/test_fused_estimator.py).
+            config.model.fused = False
         self.model, self.forward, self.example_keys = build_model(config.model)
         self.tx = build_optimizer(config.optim)
         self.mesh = make_mesh(
@@ -263,6 +268,9 @@ class Trainer:
         self._ckpt_mgr = self._make_ckpt_mgr()
         if self._ckpt_mgr and config.train.resume:
             self._maybe_restore()
+        self._qat_ema = None
+        if config.train.qat:
+            self._setup_qat()
         self._train_step = self._make_train_step()
         self._eval_step = self._make_eval_step()
         self.history: list = []
@@ -306,6 +314,57 @@ class Trainer:
 
             return FlyingThings3DDataset(d.root, split)
         raise ValueError(f"unknown dataset {d.dataset!r}")
+
+    def _calib_batches(self, batch_size: int, n: int):
+        """First ``n`` preprocessed batches as model-input tuples (shared by
+        QAT range calibration and int8 PTQ export)."""
+        loader = DataLoader(self.dataset, batch_size=batch_size, num_workers=1)
+        batches = []
+        for i, b in enumerate(loader):
+            if i >= n:
+                break
+            prep = self.preprocess(b)
+            batches.append(
+                tuple(
+                    prep[k].astype(self.config.model.jnp_dtype)
+                    for k in self.example_keys
+                )
+            )
+        return batches
+
+    def _setup_qat(self):
+        """Calibrate activation ranges and swap in the fake-quant forward.
+
+        TRT-style fixed-range QAT: ranges come from calibration on the
+        CURRENT params (fresh or checkpoint-restored) and stay constant
+        while the weights adapt to the rounding. Every consumer of
+        self.forward (train loss, eval, TTA, visualization) runs the same
+        fake-quant graph, so train and eval numerics agree."""
+        from cerberusnet_tpu.quant import calibrate
+        from cerberusnet_tpu.quant.qat import (
+            EMA_COLLECTION,
+            init_ema,
+            qat_interception,
+        )
+
+        cfg = self.config
+        batches = self._calib_batches(
+            cfg.data.batch_size, cfg.train.qat_calib_batches
+        )
+        params = dict(self.state.params)
+        params.pop("__task_uncertainty__", None)
+        scales = calibrate(self.model, {"params": params}, batches)
+        self._qat_ema = init_ema({}, scales)[EMA_COLLECTION]
+        self._base_forward = self.forward
+
+        def qat_forward(variables, batch):
+            v = dict(variables)
+            v[EMA_COLLECTION] = self._qat_ema
+            with qat_interception():
+                return self._base_forward(v, batch)
+
+        self.forward = qat_forward
+        print(f"[trainer] QAT on: {len(scales)} convs fake-quantized")
 
     def _example_batch(self):
         h, w = self.config.data.hw
@@ -500,6 +559,62 @@ class Trainer:
             idx += n
             made += write_predictions(out, out_dir, names)
         return made
+
+    def predict_images(self, paths: dict, out_dir: str, name: str = "sample"):
+        """Single-sample inference on raw image FILES.
+
+        ``paths`` maps the variant's input keys (``self.example_keys``, e.g.
+        left/right/temporal) to image paths; images are resized to the
+        configured working resolution. Writes raw arrays (``<name>.npz``),
+        benchmark-encoded PNGs (eval/submission.py layout) and a colorized
+        panel (``<name>_panel.png``); returns the list of files written."""
+        from cerberusnet_tpu.data import io as data_io
+        from cerberusnet_tpu.eval.submission import write_predictions
+        from cerberusnet_tpu.utils import visualization as vis
+
+        missing = [k for k in self.example_keys if k not in paths]
+        if missing:
+            raise ValueError(
+                f"variant {self.config.model.variant!r} needs images for "
+                f"{missing} (got {sorted(paths)})"
+            )
+        batch = {
+            k: np.asarray(data_io.read_image_u8(paths[k]))[None]
+            for k in self.example_keys
+        }
+        prep = self.preprocess(batch)
+        out = jax.jit(self.forward)(
+            {"params": self._eval_params(self.state)}, prep
+        )
+        out = {
+            k: np.asarray(v) for k, v in out.items() if hasattr(v, "ndim")
+        }
+        os.makedirs(out_dir, exist_ok=True)
+        npz_path = os.path.join(out_dir, f"{name}.npz")
+        np.savez(npz_path, **{k: v[0] for k, v in out.items()})
+        made = [npz_path] + write_predictions(out, out_dir, [name])
+        img = batch["left"][0]
+        h, w = self.config.data.hw
+        if img.shape[:2] != (h, w):  # panel tiles must share the model res
+            img = (
+                np.asarray(
+                    jax.image.resize(
+                        jnp.asarray(img, jnp.float32), (h, w, 3), "bilinear"
+                    )
+                )
+                .clip(0, 255)
+                .astype(np.uint8)
+            )
+        panel_inputs = {"image": img}
+        if "seg_logits" in out:
+            panel_inputs["seg"] = out["seg_logits"][0].argmax(-1)
+        if "flow" in out:
+            panel_inputs["flow"] = out["flow"][0]
+        if "disp" in out:
+            panel_inputs["disp"] = out["disp"][0, ..., 0]
+        panel_path = os.path.join(out_dir, f"{name}_panel.png")
+        data_io.write_image_u8(panel_path, vis.summary_panel(panel_inputs))
+        return made + [panel_path]
 
     def evaluate_tta(
         self,
@@ -716,7 +831,9 @@ class Trainer:
         from contextlib import nullcontext
 
         make_interception = nullcontext
-        forward = self.forward
+        # under QAT self.forward is the fake-quant wrapper; export either
+        # the plain float graph or (quant='int8') the real int8 graph
+        forward = getattr(self, "_base_forward", None) or self.forward
         if quant == "int8":
             import dataclasses as _dc
 
@@ -739,19 +856,22 @@ class Trainer:
             else:
                 q_model = self.model
 
-            loader = DataLoader(self.dataset, batch_size=batch, num_workers=1)
-            batches = []
-            for i, b in enumerate(loader):
-                if i >= calib_batches:
-                    break
-                prep = self.preprocess(b)
-                batches.append(
-                    tuple(
-                        prep[k].astype(self.config.model.jnp_dtype)
-                        for k in self.example_keys
-                    )
+            if self._qat_ema is not None:
+                # QAT run: deploy with the ranges training adapted to, not
+                # a fresh PTQ calibration.
+                from cerberusnet_tpu.quant.ptq import _flatten
+
+                scales = {
+                    p[:-1]: float(v)
+                    for p, v in _flatten(self._qat_ema).items()
+                    if p[-1] == "in_absmax"
+                }
+            else:
+                scales = calibrate(
+                    q_model,
+                    variables,
+                    self._calib_batches(batch, calib_batches),
                 )
-            scales = calibrate(q_model, variables, batches)
             variables = quantize(variables, scales, skip=quant_skip, strip=True)
             make_interception = quant_interception
         elif quant is not None:

@@ -141,6 +141,64 @@ class TestQATTraining:
             assert float(jnp.max(jnp.abs(leaf))) > 0
 
 
+class TestTrainerQAT:
+    def _cfg(self, tmp, qat=True):
+        from cerberusnet_tpu.train.config import (
+            DataConfig,
+            ExperimentConfig,
+            ModelConfig,
+            OptimConfig,
+            TrainConfig,
+        )
+
+        return ExperimentConfig(
+            name="qat-test",
+            model=ModelConfig(
+                variant="cerberus",
+                encoder_channels=(8, 12, 16, 16, 16, 16),
+                est_channels=(16, 16, 12),
+                ctx_channels=(16, 16),
+                fpn_channels=16,
+                corr_impl="pure",
+            ),
+            data=DataConfig(dataset="synthetic", hw=(64, 64), batch_size=2,
+                            num_workers=1, synthetic_length=4, shuffle=False),
+            optim=OptimConfig(lr=1e-3, warmup_steps=0, total_steps=20,
+                              schedule="constant"),
+            train=TrainConfig(epochs=1, log_every=1000, num_data_devices=1,
+                              qat=qat, qat_calib_batches=1),
+        )
+
+    def test_qat_trainer_fits_and_exports_int8(self, tmp_path):
+        from cerberusnet_tpu.train.trainer import Trainer
+
+        tr = Trainer(self._cfg(tmp_path))
+        assert tr.config.model.fused is False  # forced for interception
+        assert tr._qat_ema is not None
+        logs = tr.fit()
+        losses = [v for k, v in logs[-1].items() if k.startswith("loss_")]
+        assert losses and all(np.isfinite(v) for v in losses)
+        # int8 export must reuse the trained ranges (no fresh calibration)
+        out = tr.export(str(tmp_path / "artifact"), quant="int8")
+        assert (tmp_path / "artifact" / "model.mlir").exists()
+
+    def test_qat_eval_runs_fake_quant(self, tmp_path):
+        from cerberusnet_tpu.train.trainer import Trainer
+
+        cfg = self._cfg(tmp_path)
+        tr = Trainer(cfg)
+        ref = Trainer(self._cfg(tmp_path, qat=False))
+        # same seed -> same params; outputs must DIFFER (fake-quant active)
+        batch = {
+            k: jnp.ones((1, 64, 64, 3), jnp.float32) * 0.3
+            for k in ("left", "right", "temporal")
+        }
+        a = tr.forward({"params": tr.state.params}, batch)
+        b = ref.forward({"params": ref.state.params}, batch)
+        diff = float(jnp.max(jnp.abs(a["flow"] - b["flow"])))
+        assert diff > 0, "QAT forward identical to float forward"
+
+
 class TestFinalize:
     def test_finalize_feeds_quantized_apply(self, tiny):
         model, variables, x = tiny
