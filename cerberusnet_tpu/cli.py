@@ -25,6 +25,16 @@ def main(argv=None):
         "predictions (KITTI 16-bit flow/disparity PNGs, Cityscapes labelId "
         "semantics) into DIR, then exit",
     )
+    ap.add_argument(
+        "--infer", default=None, metavar="IMG[,IMG...]",
+        help="single-sample inference on image files (comma-separated, in "
+        "the variant's input order, e.g. left.png,right.png,temporal.png); "
+        "writes raw .npz, benchmark PNGs and a colorized panel, then exits",
+    )
+    ap.add_argument(
+        "--infer-out", default="predictions", metavar="DIR",
+        help="output directory for --infer (default: predictions/)",
+    )
     ap.add_argument("--ckpt-dir", default=None, help="override train.ckpt_dir")
     ap.add_argument(
         "--profile", default=None, metavar="DIR",
@@ -63,6 +73,18 @@ def main(argv=None):
     if args.export_dir:
         out = trainer.export(args.export_dir, quant=args.quant)
         print(f"exported AOT artifact to {out}")
+        return 0
+    if args.infer:
+        imgs = [p for p in args.infer.split(",") if p]
+        if len(imgs) != len(trainer.example_keys):
+            ap.error(
+                f"--infer needs {len(trainer.example_keys)} images "
+                f"({','.join(trainer.example_keys)}), got {len(imgs)}"
+            )
+        made = trainer.predict_images(
+            dict(zip(trainer.example_keys, imgs)), args.infer_out
+        )
+        print("\n".join(made))
         return 0
     if args.predict_dir:
         made = trainer.predict_to_dir(args.predict_dir)
