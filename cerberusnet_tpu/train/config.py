@@ -198,6 +198,13 @@ class ExperimentConfig:
                 kwargs[k] = v
             return dc(**kwargs)
 
+        known = {"name", "model", "data", "optim", "loss", "train"}
+        unknown = set(raw) - known
+        if unknown:
+            raise ValueError(
+                f"unknown top-level config section(s) {sorted(unknown)} "
+                f"(expected {sorted(known)})"
+            )
         return cls(
             name=raw.get("name", "experiment"),
             model=build(ModelConfig, raw.get("model", {})),

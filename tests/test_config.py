@@ -28,6 +28,11 @@ class TestConfig:
         with pytest.raises(ValueError):
             ExperimentConfig.from_json('{"model": {"nope": 1}}')
 
+    def test_unknown_top_level_section_rejected(self):
+        # a typo'd section ("trian") must not be silently ignored
+        with pytest.raises(ValueError):
+            ExperimentConfig.from_json('{"trian": {"epochs": 5}}')
+
     def test_dtype_property(self):
         import jax.numpy as jnp
 
