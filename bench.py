@@ -199,6 +199,24 @@ def bench_train_step(batch=2, hw=(512, 1024), iters=5, flatten=False,
     return batch / sec  # training frames/sec/chip
 
 
+_BENCH_SENTINEL = "/tmp/cerberus_bench_request"
+
+
+def _post_bench_sentinel() -> None:
+    """Signal the TPU experiment queue (tools/tpu_queue*.sh) that a
+    benchmark wants the chip: the queue yields between steps while this
+    file exists (TPU experiments must not overlap — CLAUDE.md rule 9)."""
+    import atexit
+
+    try:
+        with open(_BENCH_SENTINEL, "w") as f:
+            f.write(str(os.getpid()))
+        atexit.register(lambda: os.path.exists(_BENCH_SENTINEL)
+                        and os.remove(_BENCH_SENTINEL))
+    except OSError:
+        pass
+
+
 def _wait_for_device(budget_s: float) -> None:
     """Block until the TPU tunnel answers, up to ``budget_s`` seconds.
 
@@ -255,6 +273,7 @@ def main():
     )
     args = ap.parse_args()
 
+    _post_bench_sentinel()
     _wait_for_device(args.wait_device)
     details = {"device": str(jax.devices()[0]), "hw": [512, 1024]}
 

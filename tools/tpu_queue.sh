@@ -7,6 +7,14 @@ set -u
 LOG=/tmp/tpu_queue.log
 cd /root/repo
 say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
+yield_to_bench() {
+  # the driver's bench.py posts this sentinel when it wants the chip;
+  # TPU experiments must not overlap it (CLAUDE.md rule 9)
+  while [ -f /tmp/cerberus_bench_request ]; do
+    say "bench sentinel present; yielding 60s"
+    sleep 60
+  done
+}
 
 say "=== waiting for TPU tunnel ==="
 while true; do
@@ -18,20 +26,24 @@ while true; do
 done
 
 say "=== 1. overhead diagnostic ==="
+yield_to_bench
 timeout 1800 python -u tools/overhead_diag.py > /tmp/q_overhead.log 2>&1
 say "overhead rc=$? (see /tmp/q_overhead.log)"
 
 say "=== 2. forward A/B: opcount set (base/purev/s2d/purev+s2d) ==="
+yield_to_bench
 timeout 3600 python -u tools/ab_forward.py --set opcount --rounds 3 \
   > /tmp/q_ab_opcount.log 2>&1
 say "ab opcount rc=$?"
 
 say "=== 3. train-step A/B: opcount set ==="
+yield_to_bench
 timeout 3600 python -u tools/ab_forward.py --set opcount --train --iters 3 \
   --rounds 3 > /tmp/q_ab_train.log 2>&1
 say "ab train rc=$?"
 
 say "=== 4. train-step flatten A/B ==="
+yield_to_bench
 timeout 2400 python -u - > /tmp/q_flatten.log 2>&1 <<'EOF'
 import sys
 sys.path.insert(0, "/root/repo")
@@ -43,18 +55,23 @@ EOF
 say "flatten rc=$?"
 
 say "=== 5. headline bench + batch scaling ==="
+yield_to_bench
 timeout 2400 python bench.py > /tmp/q_bench_b1.log 2>&1
 say "bench b1 rc=$?"
+yield_to_bench
 timeout 2400 python bench.py --batch 2 --iters 6 > /tmp/q_bench_b2.log 2>&1
 say "bench b2 rc=$?"
+yield_to_bench
 timeout 2400 python bench.py --batch 4 --iters 4 > /tmp/q_bench_b4.log 2>&1
 say "bench b4 rc=$?"
 
 say "=== 6. tiled inference on hardware ==="
+yield_to_bench
 timeout 2400 python -u tools/tiled_bench.py > /tmp/q_tiled.log 2>&1
 say "tiled rc=$?"
 
 say "=== 7. train-step profile ==="
+yield_to_bench
 timeout 2400 python -u tools/profile_forward.py --train --batch 2 --iters 4 \
   --trace-dir /tmp/train_trace > /tmp/q_train_profile.log 2>&1
 say "train profile rc=$?"

@@ -9,6 +9,14 @@ set -u
 LOG=/tmp/tpu_queue2.log
 cd /root/repo
 say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
+yield_to_bench() {
+  # the driver's bench.py posts this sentinel when it wants the chip;
+  # TPU experiments must not overlap it (CLAUDE.md rule 9)
+  while [ -f /tmp/cerberus_bench_request ]; do
+    say "bench sentinel present; yielding 60s"
+    sleep 60
+  done
+}
 
 QPID="${1:-}"
 if [ -n "$QPID" ]; then
@@ -28,11 +36,13 @@ done
 
 say "=== A. held-out convergence evidence (configs/cerberus_evidence.json) ==="
 rm -rf runs/cerberus_evidence
+yield_to_bench
 timeout 7200 python -u -m cerberusnet_tpu.cli \
   --config configs/cerberus_evidence.json > /tmp/q2_evidence.log 2>&1
 say "evidence rc=$? (see /tmp/q2_evidence.log)"
 
 say "=== B. train-step batch scaling (per-step op overhead amortizes?) ==="
+yield_to_bench
 timeout 3600 python -u - > /tmp/q2_train_scale.log 2>&1 <<'EOF'
 import sys
 sys.path.insert(0, "/root/repo")
@@ -44,6 +54,7 @@ EOF
 say "train scale rc=$?"
 
 say "=== C. regenerate BENCH_details.json (bench.py --all, hardened timer) ==="
+yield_to_bench
 timeout 7200 python -u bench.py --all > /tmp/q2_bench_all.log 2>&1
 say "bench --all rc=$?"
 

@@ -5,6 +5,14 @@ set -u
 LOG=/tmp/tpu_queue3.log
 cd /root/repo
 say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
+yield_to_bench() {
+  # the driver's bench.py posts this sentinel when it wants the chip;
+  # TPU experiments must not overlap it (CLAUDE.md rule 9)
+  while [ -f /tmp/cerberus_bench_request ]; do
+    say "bench sentinel present; yielding 60s"
+    sleep 60
+  done
+}
 
 QPID="${1:-}"
 if [ -n "$QPID" ]; then
@@ -21,11 +29,13 @@ while true; do
 done
 
 say "=== upfeat A/B: forward ==="
+yield_to_bench
 timeout 3600 python -u tools/ab_forward.py --set upfeat --rounds 3 \
   > /tmp/q3_upfeat_fwd.log 2>&1
 say "upfeat fwd rc=$?"
 
 say "=== upfeat A/B: train step ==="
+yield_to_bench
 timeout 3600 python -u tools/ab_forward.py --set upfeat --train --iters 3 \
   --rounds 3 > /tmp/q3_upfeat_train.log 2>&1
 say "upfeat train rc=$?"

@@ -7,6 +7,14 @@ set -u
 LOG=/tmp/tpu_queue4.log
 cd /root/repo
 say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
+yield_to_bench() {
+  # the driver's bench.py posts this sentinel when it wants the chip;
+  # TPU experiments must not overlap it (CLAUDE.md rule 9)
+  while [ -f /tmp/cerberus_bench_request ]; do
+    say "bench sentinel present; yielding 60s"
+    sleep 60
+  done
+}
 
 QPID="${1:-}"
 if [ -n "$QPID" ]; then
@@ -28,6 +36,7 @@ make -C native/pjrt_runner >> "$LOG" 2>&1
 say "build rc=$?"
 
 say "=== export small artifact for verification ==="
+yield_to_bench
 timeout 2400 python -u - > /tmp/q4_export.log 2>&1 <<'EOF'
 import sys
 sys.path.insert(0, "/root/repo")
@@ -43,11 +52,13 @@ EOF
 say "export rc=$?"
 
 say "=== native raw-tensor + cache verify ==="
+yield_to_bench
 timeout 2400 python -u tools/runner_io.py verify /tmp/q4_artifact \
   --check-cache > /tmp/q4_verify_raw.log 2>&1
 say "raw verify rc=$?"
 
 say "=== native PNG serving verify (--pngs) ==="
+yield_to_bench
 timeout 2400 python -u tools/runner_io.py verify /tmp/q4_artifact \
   --pngs > /tmp/q4_verify_png.log 2>&1
 say "png verify rc=$?"

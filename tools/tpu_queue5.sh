@@ -6,6 +6,14 @@ set -u
 LOG=/tmp/tpu_queue5.log
 cd /root/repo
 say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
+yield_to_bench() {
+  # the driver's bench.py posts this sentinel when it wants the chip;
+  # TPU experiments must not overlap it (CLAUDE.md rule 9)
+  while [ -f /tmp/cerberus_bench_request ]; do
+    say "bench sentinel present; yielding 60s"
+    sleep 60
+  done
+}
 
 QPID="${1:-}"
 if [ -n "$QPID" ]; then
@@ -22,11 +30,13 @@ while true; do
 done
 
 say "=== TPU HLO census: opcount set ==="
+yield_to_bench
 timeout 3600 python -u tools/hlo_opcount.py --set opcount \
   > /tmp/q5_census_opcount.log 2>&1
 say "census opcount rc=$?"
 
 say "=== TPU HLO census: upfeat set ==="
+yield_to_bench
 timeout 3600 python -u tools/hlo_opcount.py --set upfeat \
   > /tmp/q5_census_upfeat.log 2>&1
 say "census upfeat rc=$?"
