@@ -146,14 +146,17 @@ def update_ema(variables, observed, momentum: float = 0.99):
     ``(absmax,)`` tuples (flax sow convention). Convs without an existing
     EMA entry are adopted at their observed value. Pure jnp; safe inside or
     outside jit."""
-    ema = dict(variables.get(EMA_COLLECTION, {}))
+    def _copy(node):
+        return {
+            k: _copy(v) if isinstance(v, dict) else v for k, v in node.items()
+        }
 
     def _merge(ema_node, obs_node, out):
         for k, v in obs_node.items():
             if isinstance(v, dict):
-                out[k] = {}
+                out.setdefault(k, {})
                 _merge(ema_node.get(k, {}) if ema_node else {}, v, out[k])
-            else:  # k == "in_absmax", v is the sown tuple
+            else:  # k == "in_absmax", v is the sown value (maybe a tuple)
                 obs = v[0] if isinstance(v, (tuple, list)) else v
                 obs = jnp.asarray(obs, jnp.float32)
                 prev = ema_node.get(k) if ema_node else None
@@ -163,8 +166,10 @@ def update_ema(variables, observed, momentum: float = 0.99):
                     else obs
                 )
 
-    new_ema: dict = {}
-    _merge(ema, observed, new_ema)
+    # start from a copy so entries NOT observed this step survive (a conv
+    # behind a cond/branch must not lose its trained range)
+    new_ema = _copy(variables.get(EMA_COLLECTION, {}))
+    _merge(variables.get(EMA_COLLECTION, {}), observed, new_ema)
     out = dict(variables)
     out[EMA_COLLECTION] = new_ema
     return out

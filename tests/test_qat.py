@@ -87,6 +87,20 @@ class TestEMA:
         obs = np.asarray(observed["c1"]["in_absmax"]).reshape(())
         np.testing.assert_allclose(after, 0.5 * before + 0.5 * obs, rtol=1e-6)
 
+    def test_unobserved_entries_survive(self, tiny):
+        """An EMA entry for a conv that did not appear in this step's
+        observations must keep its trained range."""
+        model, variables, x = tiny
+        scales = calibrate(model, variables, [(x,)])
+        qvars = init_ema(variables, scales)
+        _, observed = qat_apply(model, qvars, x)
+        pruned = {k: v for k, v in observed.items() if k != "head"}
+        updated = update_ema(qvars, pruned, momentum=0.5)
+        np.testing.assert_allclose(
+            updated[EMA_COLLECTION]["head"]["in_absmax"],
+            qvars[EMA_COLLECTION]["head"]["in_absmax"],
+        )
+
     def test_adopts_unseeded_convs(self, tiny):
         model, variables, x = tiny
         _, observed = qat_apply(model, variables, x)
