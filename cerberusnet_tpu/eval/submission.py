@@ -68,12 +68,39 @@ def write_seg_png(path: str, seg: np.ndarray):
         raise IOError(f"failed to write {path}")
 
 
-def write_predictions(outputs, out_dir: str, names):
+def _to_native(head: str, arr: np.ndarray, native_hw) -> np.ndarray:
+    """Resize one prediction (H, W[, C]) to the dataset-native resolution
+    with benchmark-correct VALUE scaling (SURVEY.md §9.5 resize rules):
+    flow u scales with the width ratio and v with the height ratio,
+    disparity with the width ratio; seg resizes as argmax labels (nearest).
+    """
+    import cv2
+
+    h_in, w_in = arr.shape[:2]
+    h_out, w_out = native_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return arr
+    if head == "seg_logits":
+        labels = arr.argmax(-1).astype(np.uint8) if arr.ndim == 3 else arr
+        return cv2.resize(labels, (w_out, h_out),
+                          interpolation=cv2.INTER_NEAREST)
+    out = cv2.resize(np.asarray(arr, np.float32), (w_out, h_out),
+                     interpolation=cv2.INTER_LINEAR)
+    if head == "flow":
+        out = out * np.asarray([w_out / w_in, h_out / h_in], np.float32)
+    else:  # disparity: horizontal displacement
+        out = out * np.float32(w_out / w_in)
+    return out
+
+
+def write_predictions(outputs, out_dir: str, names, native_hw=None):
     """Write one submission file per head per batch row.
 
     outputs: forward dict with any of seg_logits (B,H,W,C), flow (B,H,W,2),
              disp (B,H,W,1); names: sequence of B frame stems (e.g.
-             '000000_10').
+             '000000_10'); native_hw: optional (H, W) to resize every
+             prediction to the dataset's native resolution with correct
+             value rescaling (real submissions are graded at native res).
     Layout mirrors the public benchmarks: flow/<stem>.png,
     disp_0/<stem>.png, semantic/<stem>.png.
     """
@@ -89,11 +116,14 @@ def write_predictions(outputs, out_dir: str, names):
         assert arr.shape[0] == b, (head, arr.shape, b)
         for i, stem in enumerate(names):
             path = os.path.join(d, f"{stem}.png")
+            row = arr[i]
+            if native_hw is not None:
+                row = _to_native(head, row, native_hw)
             if head == "flow":
-                write_flow_png(path, arr[i])
+                write_flow_png(path, row)
             elif head == "disp":
-                write_disparity_png(path, arr[i])
+                write_disparity_png(path, row)
             else:
-                write_seg_png(path, arr[i])
+                write_seg_png(path, row)
             made.append(path)
     return made

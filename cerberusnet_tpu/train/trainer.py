@@ -551,14 +551,59 @@ class Trainer:
         idx = 0
         for batch in loader:
             n = len(next(iter(batch.values())))  # true rows before padding
+            # submissions are graded at the dataset-native resolution
+            native_hw = tuple(batch["left"].shape[1:3])
             prep = self._prep_eval_batch(batch)
             prep.pop("_sample_mask", None)
             out = fwd(params, prep)
             out = {k: v[:n] for k, v in out.items() if hasattr(v, "ndim")}
             names = [f"{idx + i:06d}_10" for i in range(n)]
             idx += n
-            made += write_predictions(out, out_dir, names)
+            made += write_predictions(out, out_dir, names,
+                                      native_hw=native_hw)
         return made
+
+    def import_torch_weights(self, path: str):
+        """Load a saved PyTorch checkpoint (the reference-user migration
+        path) into this trainer's params.
+
+        ``path`` is a torch.save file holding either a TorchCerberus
+        state_dict or a dict wrapping one under 'state_dict'/'model'. The
+        weights are loaded into the architecture-equivalent torch mirror at
+        this config's widths and transferred leaf-by-leaf
+        (tools/parity.import_cerberus — exact permutes/flips, no
+        arithmetic; round-trip tested). Joint 'cerberus' variant only."""
+        if self.config.model.variant != "cerberus":
+            raise ValueError(
+                "torch import maps the joint CerberusNet mirror; got "
+                f"variant {self.config.model.variant!r}"
+            )
+        import torch
+
+        from tools.parity import import_cerberus
+        from tools.torch_baseline import TorchCerberus
+
+        cfg = self.config.model
+        tmodel = TorchCerberus(
+            enc=tuple(cfg.encoder_channels),
+            est=tuple(cfg.est_channels),
+            ctx=tuple(cfg.ctx_channels),
+            fpn=cfg.fpn_channels,
+            num_classes=cfg.num_classes,
+            max_disp_full=cfg.max_disp_full,
+        )
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        for key in ("state_dict", "model"):
+            if isinstance(sd, dict) and key in sd and not hasattr(
+                sd[key], "shape"
+            ):
+                sd = sd[key]
+        tmodel.load_state_dict(sd)
+        new = import_cerberus(tmodel, {"params": self.state.params})
+        self.state = self.state.replace(params=new["params"])
+        if self.state.ema_params is not None:
+            self.state = self.state.replace(ema_params=new["params"])
+        print(f"[trainer] imported torch weights from {path}")
 
     def predict_images(self, paths: dict, out_dir: str, name: str = "sample"):
         """Single-sample inference on raw image FILES.

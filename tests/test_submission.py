@@ -92,3 +92,40 @@ def test_trainer_predict_to_dir(tmp_path):
     )
     assert flow.shape == (64, 128, 2) and np.isfinite(flow).all()
     assert valid.min() == 1.0
+
+
+def test_native_resolution_rescaling(tmp_path, rng):
+    """native_hw resizes predictions with benchmark-correct value scaling:
+    flow u scales with the width ratio, v with height, disparity with
+    width; seg resizes as nearest labels."""
+    from cerberusnet_tpu.eval.submission import write_predictions
+
+    h, w = 8, 16
+    flow = np.zeros((1, h, w, 2), np.float32)
+    flow[..., 0] = 2.0
+    flow[..., 1] = 1.0
+    disp = np.full((1, h, w, 1), 3.0, np.float32)
+    seg = np.zeros((1, h, w, 19), np.float32)
+    seg[..., 5] = 1.0  # constant class
+    out = {"flow": flow, "disp": disp, "seg_logits": seg}
+    made = write_predictions(out, str(tmp_path), ["x"], native_hw=(16, 64))
+    assert len(made) == 3
+    got_flow, valid = decode_kitti_flow(
+        read_png16(str(tmp_path / "flow" / "x.png"))
+    )
+    assert got_flow.shape == (16, 64, 2)
+    # width x4 -> u 2.0*4=8.0; height x2 -> v 1.0*2=2.0 (1/64 px quantization)
+    np.testing.assert_allclose(got_flow[..., 0], 8.0, atol=1 / 32)
+    np.testing.assert_allclose(got_flow[..., 1], 2.0, atol=1 / 32)
+    from cerberusnet_tpu.data.encodings import decode_kitti_disparity
+
+    got_disp, dvalid = decode_kitti_disparity(
+        read_png16(str(tmp_path / "disp_0" / "x.png"))
+    )
+    np.testing.assert_allclose(got_disp, 12.0, atol=1 / 128)  # 3.0 * 4
+    import cv2
+
+    labels = cv2.imread(str(tmp_path / "semantic" / "x.png"),
+                        cv2.IMREAD_GRAYSCALE)
+    assert labels.shape == (16, 64)
+    assert (labels == 17).all()  # trainId 5 -> labelId 17 (pole)
