@@ -35,6 +35,11 @@ def main(argv=None):
         "--infer-out", default="predictions", metavar="DIR",
         help="output directory for --infer (default: predictions/)",
     )
+    ap.add_argument(
+        "--import-torch", default=None, metavar="CKPT",
+        help="load a PyTorch checkpoint (reference weights) into the model "
+        "via the torch mirror before any other action (joint variant only)",
+    )
     ap.add_argument("--ckpt-dir", default=None, help="override train.ckpt_dir")
     ap.add_argument(
         "--profile", default=None, metavar="DIR",
@@ -66,6 +71,8 @@ def main(argv=None):
     from cerberusnet_tpu.train.trainer import Trainer
 
     trainer = Trainer(config)
+    if args.import_torch:
+        trainer.import_torch_weights(args.import_torch)
     if args.profile:
         out = trainer.profile(args.profile)
         print(f"trace written to {out}")

@@ -578,6 +578,11 @@ class Trainer:
                 "torch import maps the joint CerberusNet mirror; got "
                 f"variant {self.config.model.variant!r}"
             )
+        if self.config.model.seg_head != "fpn":
+            raise ValueError(
+                "torch import maps the FPN seg head (the mirror's); got "
+                f"seg_head {self.config.model.seg_head!r}"
+            )
         import torch
 
         from tools.parity import import_cerberus

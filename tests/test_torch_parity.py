@@ -126,3 +126,73 @@ class TestTorchImport:
         back = import_cerberus(tmodel, variables)
         for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(back)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestTrainerTorchImport:
+    def test_cli_level_import(self, tmp_path):
+        """Trainer.import_torch_weights loads a saved torch checkpoint and
+        the resulting forward matches the torch mirror's."""
+        from cerberusnet_tpu.train.config import (
+            DataConfig,
+            ExperimentConfig,
+            ModelConfig,
+            OptimConfig,
+            TrainConfig,
+        )
+        from cerberusnet_tpu.train.trainer import Trainer
+
+        tmodel = TorchCerberus(
+            enc=TINY["encoder_channels"],
+            est=TINY["est_channels"],
+            ctx=TINY["ctx_channels"],
+            fpn=TINY["fpn_channels"],
+            num_classes=7,
+        ).eval()
+        ckpt = tmp_path / "ref.pt"
+        torch.save({"state_dict": tmodel.state_dict()}, ckpt)
+
+        cfg = ExperimentConfig(
+            model=ModelConfig(variant="cerberus", corr_impl="pure",
+                              num_classes=7, **{k: v for k, v in TINY.items()}),
+            data=DataConfig(dataset="synthetic", hw=(64, 64), batch_size=1,
+                            num_workers=1, synthetic_length=2, shuffle=False),
+            optim=OptimConfig(lr=1e-3, warmup_steps=0, total_steps=10,
+                              schedule="constant"),
+            train=TrainConfig(epochs=1, num_data_devices=1),
+        )
+        tr = Trainer(cfg)
+        tr.import_torch_weights(str(ckpt))
+
+        rng = np.random.RandomState(5)
+        img = rng.rand(1, 64, 64, 3).astype(np.float32)
+        batch = {k: jnp.asarray(img) for k in ("left", "right", "temporal")}
+        out = tr.forward({"params": tr.state.params}, batch)
+        with torch.no_grad():
+            t = torch.tensor(img).permute(0, 3, 1, 2)
+            tout = tmodel(t, t, t)
+        np.testing.assert_allclose(
+            np.asarray(out["flow"], np.float32),
+            tout["flow"].permute(0, 2, 3, 1).numpy(),
+            atol=2e-3,
+        )
+
+    def test_rejects_non_joint_variant(self, tmp_path):
+        from cerberusnet_tpu.train.config import (
+            DataConfig,
+            ExperimentConfig,
+            ModelConfig,
+            TrainConfig,
+        )
+        from cerberusnet_tpu.train.trainer import Trainer
+
+        cfg = ExperimentConfig(
+            model=ModelConfig(variant="seg",
+                              encoder_channels=TINY["encoder_channels"],
+                              fpn_channels=16),
+            data=DataConfig(dataset="synthetic", hw=(64, 64), batch_size=1,
+                            num_workers=1, synthetic_length=2),
+            train=TrainConfig(epochs=1, num_data_devices=1),
+        )
+        tr = Trainer(cfg)
+        with pytest.raises(ValueError):
+            tr.import_torch_weights("whatever.pt")
