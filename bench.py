@@ -207,13 +207,18 @@ def _post_bench_sentinel() -> None:
     benchmark wants the chip: the queue yields between steps while this
     file exists (TPU experiments must not overlap — CLAUDE.md rule 9)."""
     import atexit
+    import signal
 
     try:
         with open(_BENCH_SENTINEL, "w") as f:
             f.write(str(os.getpid()))
         atexit.register(lambda: os.path.exists(_BENCH_SENTINEL)
                         and os.remove(_BENCH_SENTINEL))
-    except OSError:
+        # GNU timeout kills with SIGTERM, which skips atexit by default;
+        # convert it to SystemExit so the sentinel is removed (the queue
+        # also PID-checks the sentinel, belt and braces)
+        signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
+    except (OSError, ValueError):  # ValueError: non-main thread
         pass
 
 

@@ -108,10 +108,24 @@ class FlyingChairsDataset:
             cand = os.path.join(root, "FlyingChairs_train_val.txt")
             split_file = cand if os.path.exists(cand) else None
         if split_file is not None:
-            want = "1" if split == "train" else "2"
+            # DataConfig's default split is "training"; both spellings train
+            want = "1" if split in ("train", "training") else "2"
             with open(split_file) as f:
                 flags = [ln.strip() for ln in f if ln.strip()]
-            ids = [sid for sid, flag in zip(ids, flags) if flag == want]
+            # flags are one-per-id IN ID ORDER for the complete release —
+            # index by the id itself so a missing/extra file fails loudly
+            # instead of silently shifting every later assignment
+            kept = []
+            for sid in ids:
+                pos = int(sid) - 1
+                if pos < 0 or pos >= len(flags):
+                    raise ValueError(
+                        f"id {sid} outside split file ({len(flags)} rows) — "
+                        f"data dir and {os.path.basename(split_file)} disagree"
+                    )
+                if flags[pos] == want:
+                    kept.append(sid)
+            ids = kept
         self.ids = ids
 
     def __len__(self):
@@ -152,10 +166,15 @@ class FlyingThings3DDataset:
     MAX_FLOW = 1000.0
     MAX_DISP = 1000.0
 
+    # the release ships only TRAIN/ and TEST/; accept the DataConfig
+    # vocabulary ("training", "val") as well as the native names
+    _SPLITS = {"train": "TRAIN", "training": "TRAIN",
+               "val": "TEST", "test": "TEST", "validation": "TEST"}
+
     def __init__(self, root: str, split: str = "TRAIN",
                  render_pass: str = "frames_cleanpass"):
         self.root = root
-        self.split = split.upper()
+        self.split = self._SPLITS.get(split.lower(), split.upper())
         self.render_pass = render_pass
         img_root = os.path.join(root, render_pass, self.split)
         if not os.path.isdir(img_root):

@@ -332,20 +332,10 @@ class Trainer:
             )
         return batches
 
-    def _setup_qat(self):
-        """Calibrate activation ranges and swap in the fake-quant forward.
-
-        TRT-style fixed-range QAT: ranges come from calibration on the
-        CURRENT params (fresh or checkpoint-restored) and stay constant
-        while the weights adapt to the rounding. Every consumer of
-        self.forward (train loss, eval, TTA, visualization) runs the same
-        fake-quant graph, so train and eval numerics agree."""
+    def _calibrate_qat_ranges(self):
+        """Per-conv activation absmaxes on the CURRENT params -> EMA tree."""
         from cerberusnet_tpu.quant import calibrate
-        from cerberusnet_tpu.quant.qat import (
-            EMA_COLLECTION,
-            init_ema,
-            qat_interception,
-        )
+        from cerberusnet_tpu.quant.qat import EMA_COLLECTION, init_ema
 
         cfg = self.config
         batches = self._calib_batches(
@@ -354,7 +344,22 @@ class Trainer:
         params = dict(self.state.params)
         params.pop("__task_uncertainty__", None)
         scales = calibrate(self.model, {"params": params}, batches)
-        self._qat_ema = init_ema({}, scales)[EMA_COLLECTION]
+        print(f"[trainer] QAT: calibrated {len(scales)} conv ranges")
+        return init_ema({}, scales)[EMA_COLLECTION]
+
+    def _setup_qat(self):
+        """Calibrate activation ranges and swap in the fake-quant forward.
+
+        TRT-style fixed-range QAT: ranges come from calibration on the
+        CURRENT params (fresh or checkpoint-restored; re-calibrated by
+        import_torch_weights) and stay constant while the weights adapt to
+        the rounding. Every consumer of self.forward (train loss, eval,
+        TTA, visualization) runs the same fake-quant graph, so train and
+        eval numerics agree. The wrapper reads self._qat_ema at call time,
+        so re-calibration never needs a re-wrap."""
+        from cerberusnet_tpu.quant.qat import EMA_COLLECTION, qat_interception
+
+        self._qat_ema = self._calibrate_qat_ranges()
         self._base_forward = self.forward
 
         def qat_forward(variables, batch):
@@ -364,7 +369,6 @@ class Trainer:
                 return self._base_forward(v, batch)
 
         self.forward = qat_forward
-        print(f"[trainer] QAT on: {len(scales)} convs fake-quantized")
 
     def _example_batch(self):
         h, w = self.config.data.hw
@@ -609,6 +613,10 @@ class Trainer:
         if self.state.ema_params is not None:
             self.state = self.state.replace(ema_params=new["params"])
         print(f"[trainer] imported torch weights from {path}")
+        if self._qat_ema is not None:
+            # construction-time QAT calibration saw the random-init weights;
+            # the imported weights have different activation magnitudes
+            self._qat_ema = self._calibrate_qat_ranges()
 
     def predict_images(self, paths: dict, out_dir: str, name: str = "sample"):
         """Single-sample inference on raw image FILES.
@@ -633,7 +641,12 @@ class Trainer:
             for k in self.example_keys
         }
         prep = self.preprocess(batch)
-        out = jax.jit(self.forward)(
+        # cache the jitted forward across calls — per-call jax.jit wrappers
+        # retrace/recompile every image (compiles are seconds-to-minutes
+        # here, CLAUDE.md rule 4)
+        if getattr(self, "_predict_fwd", None) is None:
+            self._predict_fwd = jax.jit(self.forward)
+        out = self._predict_fwd(
             {"params": self._eval_params(self.state)}, prep
         )
         out = {

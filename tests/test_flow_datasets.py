@@ -115,9 +115,29 @@ class TestFlyingChairs:
         split = tmp_path / "FlyingChairs_train_val.txt"
         split.write_text("1\n2\n1\n")
         assert len(FlyingChairsDataset(str(tmp_path), split="train")) == 2
+        # the DataConfig default spelling must also mean TRAIN (a default
+        # config must not silently train on the val subset)
+        assert len(FlyingChairsDataset(str(tmp_path), split="training")) == 2
         val = FlyingChairsDataset(str(tmp_path), split="val")
         assert len(val) == 1
         np.testing.assert_array_equal(val[0]["flow_gt"][..., 1], 2.0)
+
+    def test_split_flags_indexed_by_id_not_position(self, tmp_path):
+        """A missing sample file must not shift later ids' train/val
+        assignment (flags pair by id, not by glob position)."""
+        self._make(str(tmp_path))
+        os.remove(os.path.join(str(tmp_path), "data", "00002_flow.flo"))
+        split = tmp_path / "FlyingChairs_train_val.txt"
+        split.write_text("2\n1\n1\n")  # id1=val, id2=train, id3=train
+        train = FlyingChairsDataset(str(tmp_path), split="train")
+        assert [s for s in train.ids] == ["00003"]
+
+    def test_split_file_too_short_fails_loudly(self, tmp_path):
+        self._make(str(tmp_path))
+        split = tmp_path / "FlyingChairs_train_val.txt"
+        split.write_text("1\n1\n")  # 3 sample ids on disk
+        with pytest.raises(ValueError):
+            FlyingChairsDataset(str(tmp_path), split="train")
 
 
 class TestTrainerIntegration:
@@ -186,6 +206,14 @@ class TestFlyingThings3D:
         disp = np.full((12, 16), 3.25, np.float32)
         disp[1, 1] = -4.0  # nonpositive -> invalid
         data_io.write_pfm(os.path.join(dd, "0006.pfm"), disp)
+
+    def test_config_split_vocabulary_maps_to_release_dirs(self, tmp_path):
+        """The release only has TRAIN/ and TEST/; the DataConfig spellings
+        ('training', 'val') must map onto them."""
+        self._make(str(tmp_path))
+        assert len(FlyingThings3DDataset(str(tmp_path), split="training")) == 1
+        with pytest.raises(FileNotFoundError):  # maps to TEST/, not VAL/
+            FlyingThings3DDataset(str(tmp_path), split="val")
 
     def test_joint_sample(self, tmp_path):
         self._make(str(tmp_path))

@@ -196,6 +196,35 @@ class TestTrainerQAT:
         out = tr.export(str(tmp_path / "artifact"), quant="int8")
         assert (tmp_path / "artifact" / "model.mlir").exists()
 
+    def test_torch_import_recalibrates_ranges(self, tmp_path):
+        """import_torch_weights under QAT must re-calibrate the activation
+        ranges — construction-time calibration saw the random-init
+        weights."""
+        import torch
+
+        from cerberusnet_tpu.train.trainer import Trainer
+        from tools.torch_baseline import TorchCerberus
+
+        cfg = self._cfg(tmp_path)
+        tr = Trainer(cfg)
+        before = jax.tree.map(lambda x: np.asarray(x), tr._qat_ema)
+        tmodel = TorchCerberus(
+            enc=(8, 12, 16, 16, 16, 16), est=(16, 16, 12), ctx=(16, 16),
+            fpn=16, num_classes=cfg.model.num_classes,
+        )
+        with torch.no_grad():  # make the imported weights clearly different
+            for p in tmodel.parameters():
+                p.mul_(3.0)
+        ckpt = tmp_path / "ref.pt"
+        torch.save(tmodel.state_dict(), ckpt)
+        tr.import_torch_weights(str(ckpt))
+        after = tr._qat_ema
+        changed = [
+            float(abs(a - b))
+            for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after))
+        ]
+        assert max(changed) > 0, "QAT ranges unchanged after torch import"
+
     def test_qat_eval_runs_fake_quant(self, tmp_path):
         from cerberusnet_tpu.train.trainer import Trainer
 

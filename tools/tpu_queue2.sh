@@ -11,9 +11,17 @@ cd /root/repo
 say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
 yield_to_bench() {
   # the driver's bench.py posts this sentinel when it wants the chip;
-  # TPU experiments must not overlap it (CLAUDE.md rule 9)
+  # TPU experiments must not overlap it (CLAUDE.md rule 9). The sentinel
+  # holds the bench PID — ignore (and clean up) a stale one left by a
+  # SIGKILLed bench so a dead benchmark can't deadlock the queue.
   while [ -f /tmp/cerberus_bench_request ]; do
-    say "bench sentinel present; yielding 60s"
+    bpid=$(cat /tmp/cerberus_bench_request 2>/dev/null)
+    if [ -z "$bpid" ] || ! kill -0 "$bpid" 2>/dev/null; then
+      say "stale bench sentinel (pid ${bpid:-?} dead); removing"
+      rm -f /tmp/cerberus_bench_request
+      break
+    fi
+    say "bench sentinel present (pid $bpid); yielding 60s"
     sleep 60
   done
 }
