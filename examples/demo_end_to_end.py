@@ -11,7 +11,9 @@ import sys
 import jax
 import numpy as np
 
-if jax.default_backend() not in ("tpu",):
+# Probing jax.default_backend() initializes the backend and can hang or
+# raise when the axon tunnel is down — CPU unless explicitly requested.
+if os.environ.get("CERBERUS_EXAMPLE_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
 
 
