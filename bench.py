@@ -130,6 +130,30 @@ def bench_cerberus_dcv(batch=1, hw=(512, 1024), iters=10):
     return batch / sec
 
 
+def bench_raft(batch=1, hw=(512, 1024), iters=6):
+    """RAFT-family iterative flow (models/raft.py): all-pairs MXU
+    correlation + 12 weight-tied GRU refinements under nn.scan. The
+    accuracy-ceiling flow option; measured beside the latency options."""
+    from cerberusnet_tpu.models import RAFTFlowNet
+
+    model = RAFTFlowNet(dtype=jnp.bfloat16)
+    h, w = hw
+    imgs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (batch, h, w, 3), jnp.bfloat16)
+        for i in range(2)
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
+
+    def forward(im1, im2):
+        return model.apply(variables, im1, im2)
+
+    def reduce_out(out):
+        return out["flow"].mean().astype(jnp.float32)
+
+    sec = _loop_time(forward, imgs, iters, reduce_out)
+    return batch / sec
+
+
 def bench_train_step(batch=2, hw=(512, 1024), iters=5, flatten=False,
                      model_kw=()):
     """[BASELINE:L11] config 5: end-to-end multi-task train step (joint loss,
@@ -318,6 +342,7 @@ def main():
             "cerberus_dcv_bf16_fps": lambda: bench_cerberus_dcv(
                 batch=args.batch, iters=args.iters
             ),
+            "raft_bf16_fps": lambda: bench_raft(batch=args.batch),
             "train_step_bf16_fps": lambda: bench_train_step(
                 batch=max(args.batch, 2)
             ),

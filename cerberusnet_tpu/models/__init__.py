@@ -7,6 +7,7 @@ from cerberusnet_tpu.models.dcv_flow import (
     DCVStereoNet,
     CerberusDCV,
 )
+from cerberusnet_tpu.models.raft import RAFTFlowNet, RAFTStereoNet
 from cerberusnet_tpu.models.disparity import DisparityDecoder, StereoNet
 from cerberusnet_tpu.models.segmentation import SegmentationHead, SegNet
 from cerberusnet_tpu.models.cerberus import CerberusNet
@@ -20,6 +21,8 @@ __all__ = [
     "DCVStereoDecoder",
     "DCVStereoNet",
     "CerberusDCV",
+    "RAFTFlowNet",
+    "RAFTStereoNet",
     "DisparityDecoder",
     "StereoNet",
     "SegmentationHead",

@@ -16,7 +16,9 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass
 class ModelConfig:
-    variant: str = "cerberus"  # cerberus | flow | stereo | seg
+    variant: str = "cerberus"
+    # cerberus | flow | stereo | seg | dcv_flow | dcv_stereo | cerberus_dcv
+    # | raft | raft_stereo
     encoder_channels: Tuple[int, ...] = (16, 32, 64, 96, 128, 196)
     num_classes: int = 19
     max_disp_full: int = 96
@@ -36,6 +38,15 @@ class ModelConfig:
     distribute_outputs: bool = True
     upfeat_impl: str = "convt"  # convt | subpixel (models/common.py)
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
+    # RAFT family (models/raft.py) — iterative all-pairs refinement:
+    raft_iters: int = 12
+    raft_radius: int = 4
+    raft_fdim: int = 128
+    raft_hdim: int = 96
+    raft_cdim: int = 64
+    raft_corr_levels: int = 4
+    raft_level: int = 3  # operating resolution 1/2^level
+    raft_unroll: bool = False  # unroll iterations instead of nn.scan
 
     @property
     def jnp_dtype(self):
@@ -72,7 +83,7 @@ class OptimConfig:
     optimizer: str = "adamw"  # adamw | adam | sgd
     lr: float = 1e-4
     weight_decay: float = 4e-4
-    schedule: str = "cosine"  # cosine | poly | constant
+    schedule: str = "cosine"  # cosine | poly | onecycle | constant
     warmup_steps: int = 100
     total_steps: int = 10000
     grad_clip: float = 1.0
@@ -106,6 +117,9 @@ class LossConfig:
     # Kendall-style homoscedastic task weighting (SURVEY.md §9.6 variant):
     # learnable per-task log-variances replace the fixed weights.
     uncertainty_weighting: bool = False
+    # RAFT sequence-loss decay over refinement iterates (losses.py
+    # raft_sequence_loss); only used by iterative models (variant 'raft').
+    seq_gamma: float = 0.8
 
     @property
     def weights(self):

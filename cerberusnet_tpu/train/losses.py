@@ -188,6 +188,40 @@ def multiscale_flow_loss(
     return total
 
 
+def raft_sequence_loss(
+    iterates,
+    gt_flow,
+    valid=None,
+    level: int = 3,
+    gamma: float = 0.8,
+):
+    """RAFT sequence loss: exponentially-weighted L1 over ALL refinement
+    iterates (Teed & Deng 2020 eq. 7) — supervises every GRU step so early
+    iterations learn coarse motion and late ones learn residuals.
+
+    iterates: (T, B, h, w, 2) low-res flows in level-pixel units (the
+    RAFTFlowNet "flow_iterates" output). GT is valid-aware downsampled to
+    the operating level ONCE and value-scaled (the framework's multiscale
+    convention, losses.downsample_gt) — comparing at the operating
+    resolution instead of upsampling each iterate keeps the T upsample
+    passes out of the backward graph (one convex upsample per step is pure
+    overhead on TPU; the final full-res field is still trained through the
+    level term since upsampling is linear in the flow).
+    """
+    if valid is None:
+        valid = jnp.ones(gt_flow.shape[:3], jnp.float32)
+    gt_l, valid_l = downsample_gt(gt_flow, valid, level, scale_values=True)
+    t = iterates.shape[0]
+    err = jnp.sum(
+        jnp.abs(iterates.astype(jnp.float32) - gt_l[None]), axis=-1
+    )  # (T, B, h, w)
+    per_iter = jnp.sum(err * valid_l[None], axis=(1, 2, 3)) / jnp.maximum(
+        jnp.sum(valid_l), 1.0
+    )
+    weights = gamma ** jnp.arange(t - 1, -1, -1, dtype=jnp.float32)
+    return jnp.sum(weights * per_iter)
+
+
 def photometric_loss(im1, im2, flow, alpha: float = 0.85):
     """Unsupervised photometric term: warped-image SSIM + L1 mixture
     (SURVEY.md §3 C11 'unsupervised photometric ... option for sparse
@@ -282,7 +316,7 @@ def multiscale_disparity_loss(
 
 def joint_loss(outputs, batch, weights=None, focal_gamma=None, robust_q=None,
                photometric_weight: float = 0.0, smoothness_weight: float = 0.0,
-               rmi_weight: float = 0.0):
+               rmi_weight: float = 0.0, seq_gamma: float = 0.8):
     """Weighted multi-task loss (SURVEY.md §3 C11 'joint weighted sum').
 
     Tasks contribute only when both the model output and the GT are
@@ -304,7 +338,20 @@ def joint_loss(outputs, batch, weights=None, focal_gamma=None, robust_q=None,
                 rmi_weight * comps["rmi"]
             )
         total = total + weights.get("seg", 1.0) * comps["seg"]
-    if "flow_gt" in batch and "flow_pyramid" in outputs:
+    if "flow_gt" in batch and "flow_iterates" in outputs:
+        # Iterative-refinement models (RAFT family) supervise every GRU
+        # iterate; the multiscale pyramid term is subsumed (the final
+        # iterate IS the pyramid entry).
+        (level,) = outputs["flow_pyramid"].keys()
+        comps["flow"] = raft_sequence_loss(
+            outputs["flow_iterates"],
+            batch["flow_gt"],
+            batch.get("flow_valid"),
+            level=level,
+            gamma=seq_gamma,
+        )
+        total = total + weights.get("flow", 1.0) * comps["flow"]
+    elif "flow_gt" in batch and "flow_pyramid" in outputs:
         comps["flow"] = multiscale_flow_loss(
             outputs["flow_pyramid"],
             batch["flow_gt"],
@@ -312,7 +359,21 @@ def joint_loss(outputs, batch, weights=None, focal_gamma=None, robust_q=None,
             robust_q=robust_q,
         )
         total = total + weights.get("flow", 1.0) * comps["flow"]
-    if "disp_gt" in batch and "disp_pyramid" in outputs:
+    if "disp_gt" in batch and "disp_iterates" in outputs:
+        # RAFT-Stereo: supervise every refinement iterate (L1 sequence).
+        (level,) = outputs["disp_pyramid"].keys()
+        gt_d = batch["disp_gt"]
+        if gt_d.ndim == 3:
+            gt_d = gt_d[..., None]
+        comps["disp"] = raft_sequence_loss(
+            outputs["disp_iterates"],
+            gt_d,
+            batch.get("disp_valid"),
+            level=level,
+            gamma=seq_gamma,
+        )
+        total = total + weights.get("disp", 1.0) * comps["disp"]
+    elif "disp_gt" in batch and "disp_pyramid" in outputs:
         comps["disp"] = multiscale_disparity_loss(
             outputs["disp_pyramid"], batch["disp_gt"], batch.get("disp_valid")
         )

@@ -106,6 +106,46 @@ def build_model(cfg: ModelConfig):
             return model.apply(variables, batch["left"], batch["temporal"])
 
         example_keys = ("left", "temporal")
+    elif cfg.variant == "raft":
+        from cerberusnet_tpu.models.raft import RAFTFlowNet
+
+        model = RAFTFlowNet(
+            encoder_channels=tuple(cfg.encoder_channels),
+            level=cfg.raft_level,
+            fdim=cfg.raft_fdim,
+            hdim=cfg.raft_hdim,
+            cdim=cfg.raft_cdim,
+            corr_levels=cfg.raft_corr_levels,
+            radius=cfg.raft_radius,
+            iters=cfg.raft_iters,
+            unroll_iters=cfg.raft_unroll,
+            dtype=cfg.jnp_dtype,
+        )
+
+        def forward(variables, batch):
+            return model.apply(variables, batch["left"], batch["temporal"])
+
+        example_keys = ("left", "temporal")
+    elif cfg.variant == "raft_stereo":
+        from cerberusnet_tpu.models.raft import RAFTStereoNet
+
+        model = RAFTStereoNet(
+            encoder_channels=tuple(cfg.encoder_channels),
+            level=cfg.raft_level,
+            fdim=cfg.raft_fdim,
+            hdim=cfg.raft_hdim,
+            cdim=cfg.raft_cdim,
+            corr_levels=cfg.raft_corr_levels,
+            radius=cfg.raft_radius,
+            iters=cfg.raft_iters,
+            unroll_iters=cfg.raft_unroll,
+            dtype=cfg.jnp_dtype,
+        )
+
+        def forward(variables, batch):
+            return model.apply(variables, batch["left"], batch["right"])
+
+        example_keys = ("left", "right")
     elif cfg.variant == "dcv_flow":
         model = DCVFlowNet(
             max_disp=cfg.flow_max_disp,
@@ -170,6 +210,9 @@ def build_optimizer(cfg):
         sched = optax.warmup_cosine_decay_schedule(
             0.0, cfg.lr, cfg.warmup_steps, cfg.total_steps
         )
+    elif cfg.schedule == "onecycle":
+        # RAFT-family policy: linear ramp to peak then linear anneal
+        sched = optax.linear_onecycle_schedule(cfg.total_steps, cfg.lr)
     elif cfg.schedule == "poly":
         sched = optax.polynomial_schedule(
             cfg.lr, cfg.lr * 1e-3, cfg.poly_power, cfg.total_steps - cfg.warmup_steps,
@@ -453,6 +496,7 @@ class Trainer:
             photometric_weight=cfg.photometric_weight,
             smoothness_weight=cfg.smoothness_weight,
             rmi_weight=cfg.rmi_weight,
+            seq_gamma=cfg.seq_gamma,
         )
         if log_vars is not None:
             total = losses_lib.uncertainty_weighted_total(comps, log_vars)
