@@ -7,7 +7,13 @@ from cerberusnet_tpu.models.dcv_flow import (
     DCVStereoNet,
     CerberusDCV,
 )
-from cerberusnet_tpu.models.raft import RAFTFlowNet, RAFTStereoNet
+from cerberusnet_tpu.models.raft import (
+    CerberusRAFT,
+    RAFTFlowDecoder,
+    RAFTFlowNet,
+    RAFTStereoDecoder,
+    RAFTStereoNet,
+)
 from cerberusnet_tpu.models.disparity import DisparityDecoder, StereoNet
 from cerberusnet_tpu.models.segmentation import SegmentationHead, SegNet
 from cerberusnet_tpu.models.cerberus import CerberusNet
@@ -21,7 +27,10 @@ __all__ = [
     "DCVStereoDecoder",
     "DCVStereoNet",
     "CerberusDCV",
+    "CerberusRAFT",
+    "RAFTFlowDecoder",
     "RAFTFlowNet",
+    "RAFTStereoDecoder",
     "RAFTStereoNet",
     "DisparityDecoder",
     "StereoNet",

@@ -319,16 +319,15 @@ class UpdateBlock(nn.Module):
         return hidden, delta.astype(jnp.float32), mask
 
 
-class RAFTFlowNet(nn.Module):
-    """Iterative all-pairs flow network sharing the framework's pyramid
-    encoder (features taken at 1/2^level resolution, projected to fdim).
+class RAFTFlowDecoder(nn.Module):
+    """Iterative all-pairs flow decoder over pyramid features (features
+    taken at 1/2^level resolution, projected to fdim).
 
     iters is static (fixed trace); at inference a smaller iters can be used
     by constructing a second module with the same params (weight-tied
     update block — the param tree is iteration-count independent).
     """
 
-    encoder_channels: Sequence[int] = (16, 32, 64, 96, 128, 196)
     level: int = 3  # 1/8 resolution, the RAFT operating point
     fdim: int = 128  # correlation feature dim
     hdim: int = 96  # GRU hidden dim
@@ -340,10 +339,7 @@ class RAFTFlowNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, im1, im2):
-        enc = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)
-        feats1 = enc(im1)
-        feats2 = enc(im2)
+    def __call__(self, feats1, feats2):
         f1 = feats1[self.level - 1]
         f2 = feats2[self.level - 1]
 
@@ -409,6 +405,36 @@ class RAFTFlowNet(nn.Module):
         }
 
 
+class RAFTFlowNet(nn.Module):
+    """Pyramid encoder + iterative all-pairs flow decoder (single-task)."""
+
+    encoder_channels: Sequence[int] = (16, 32, 64, 96, 128, 196)
+    level: int = 3
+    fdim: int = 128
+    hdim: int = 96
+    cdim: int = 64
+    corr_levels: int = 4
+    radius: int = 4
+    iters: int = 12
+    unroll_iters: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, im1, im2):
+        enc = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)
+        return RAFTFlowDecoder(
+            level=self.level,
+            fdim=self.fdim,
+            hdim=self.hdim,
+            cdim=self.cdim,
+            corr_levels=self.corr_levels,
+            radius=self.radius,
+            iters=self.iters,
+            unroll_iters=self.unroll_iters,
+            dtype=self.dtype,
+        )(enc(im1), enc(im2))
+
+
 class _ScanBody(nn.Module):
     """nn.scan body: carry = (hidden, field, last_mask); emits each iterate.
 
@@ -460,16 +486,15 @@ class _ScanBody(nn.Module):
         return (hidden, field, mask), field
 
 
-class RAFTStereoNet(nn.Module):
-    """RAFT-Stereo: the 1-D epipolar instance of the iterative family
-    (Lipson et al. 2021 lineage). Identical update machinery to
-    RAFTFlowNet; the correlation volume is per-row all-pairs (one matmul
-    per row batch), the lookup is a linear 1-D window at ``x - d``, and the
-    prediction is 1-channel disparity (positive samples LEFT in the right
-    image — the framework convention).
+class RAFTStereoDecoder(nn.Module):
+    """RAFT-Stereo decoder: the 1-D epipolar instance of the iterative
+    family (Lipson et al. 2021 lineage). Identical update machinery to
+    RAFTFlowDecoder; the correlation volume is per-row all-pairs (one
+    matmul per row batch), the lookup is a linear 1-D window at ``x - d``,
+    and the prediction is 1-channel disparity (positive samples LEFT in
+    the right image — the framework convention).
     """
 
-    encoder_channels: Sequence[int] = (16, 32, 64, 96, 128, 196)
     level: int = 3
     fdim: int = 128
     hdim: int = 96
@@ -481,10 +506,7 @@ class RAFTStereoNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, left, right):
-        enc = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)
-        feats1 = enc(left)
-        feats2 = enc(right)
+    def __call__(self, feats1, feats2):
         f1 = feats1[self.level - 1]
         f2 = feats2[self.level - 1]
 
@@ -542,4 +564,92 @@ class RAFTStereoNet(nn.Module):
             "disp": up[..., 0].astype(jnp.float32),
             "disp_pyramid": {self.level: final_disp[..., 0]},
             "disp_iterates": iterates,
+        }
+
+
+class RAFTStereoNet(nn.Module):
+    """Pyramid encoder + RAFT-Stereo decoder (single-task)."""
+
+    encoder_channels: Sequence[int] = (16, 32, 64, 96, 128, 196)
+    level: int = 3
+    fdim: int = 128
+    hdim: int = 96
+    cdim: int = 64
+    corr_levels: int = 4
+    radius: int = 4
+    iters: int = 12
+    unroll_iters: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, left, right):
+        enc = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)
+        return RAFTStereoDecoder(
+            level=self.level,
+            fdim=self.fdim,
+            hdim=self.hdim,
+            cdim=self.cdim,
+            corr_levels=self.corr_levels,
+            radius=self.radius,
+            iters=self.iters,
+            unroll_iters=self.unroll_iters,
+            dtype=self.dtype,
+        )(enc(left), enc(right))
+
+
+class CerberusRAFT(nn.Module):
+    """Joint three-head model on the iterative decoders: one shared pyramid
+    encoder + RAFT flow (left->temporal) + RAFT-Stereo disparity
+    (left->right) + the FPN/ASPP segmentation head. Same I/O contract as
+    CerberusNet; the accuracy-ceiling joint flagship (the latency options
+    are CerberusNet and CerberusDCV).
+    """
+
+    encoder_channels: Sequence[int] = (16, 32, 64, 96, 128, 196)
+    num_classes: int = 19
+    level: int = 3
+    fdim: int = 128
+    hdim: int = 96
+    cdim: int = 64
+    corr_levels: int = 4
+    radius: int = 4
+    iters: int = 12
+    unroll_iters: bool = False
+    fpn_channels: int = 96
+    seg_head: str = "fpn"  # fpn | aspp
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, left, right, temporal):
+        from cerberusnet_tpu.models.segmentation import make_seg_head
+
+        enc = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype)
+        # separate applications (models/common.py encode_pair rationale)
+        f_left = enc(left)
+        f_right = enc(right)
+        f_temporal = enc(temporal)
+        kw = dict(
+            level=self.level,
+            fdim=self.fdim,
+            hdim=self.hdim,
+            cdim=self.cdim,
+            corr_levels=self.corr_levels,
+            radius=self.radius,
+            iters=self.iters,
+            unroll_iters=self.unroll_iters,
+            dtype=self.dtype,
+        )
+        flow_out = RAFTFlowDecoder(**kw)(f_left, f_temporal)
+        disp_out = RAFTStereoDecoder(**kw)(f_left, f_right)
+        seg_logits = make_seg_head(
+            self.seg_head, self.num_classes, self.fpn_channels, self.dtype
+        )(f_left, left.shape[1:3])
+        return {
+            "seg_logits": seg_logits,
+            "flow": flow_out["flow"],
+            "disp": disp_out["disp"],
+            "flow_pyramid": flow_out["flow_pyramid"],
+            "disp_pyramid": disp_out["disp_pyramid"],
+            "flow_iterates": flow_out["flow_iterates"],
+            "disp_iterates": disp_out["disp_iterates"],
         }

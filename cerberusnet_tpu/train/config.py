@@ -18,7 +18,7 @@ import jax.numpy as jnp
 class ModelConfig:
     variant: str = "cerberus"
     # cerberus | flow | stereo | seg | dcv_flow | dcv_stereo | cerberus_dcv
-    # | raft | raft_stereo
+    # | raft | raft_stereo | cerberus_raft
     encoder_channels: Tuple[int, ...] = (16, 32, 64, 96, 128, 196)
     num_classes: int = 19
     max_disp_full: int = 96

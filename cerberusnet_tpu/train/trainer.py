@@ -146,6 +146,31 @@ def build_model(cfg: ModelConfig):
             return model.apply(variables, batch["left"], batch["right"])
 
         example_keys = ("left", "right")
+    elif cfg.variant == "cerberus_raft":
+        from cerberusnet_tpu.models.raft import CerberusRAFT
+
+        model = CerberusRAFT(
+            encoder_channels=tuple(cfg.encoder_channels),
+            num_classes=cfg.num_classes,
+            level=cfg.raft_level,
+            fdim=cfg.raft_fdim,
+            hdim=cfg.raft_hdim,
+            cdim=cfg.raft_cdim,
+            corr_levels=cfg.raft_corr_levels,
+            radius=cfg.raft_radius,
+            iters=cfg.raft_iters,
+            unroll_iters=cfg.raft_unroll,
+            fpn_channels=cfg.fpn_channels,
+            seg_head=cfg.seg_head,
+            dtype=cfg.jnp_dtype,
+        )
+
+        def forward(variables, batch):
+            return model.apply(
+                variables, batch["left"], batch["right"], batch["temporal"]
+            )
+
+        example_keys = ("left", "right", "temporal")
     elif cfg.variant == "dcv_flow":
         model = DCVFlowNet(
             max_disp=cfg.flow_max_disp,

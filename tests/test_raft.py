@@ -237,6 +237,127 @@ class TestRAFTStereoModel:
         assert "disp" in comps
 
 
+class TestCerberusRAFT:
+    def test_joint_forward_shapes(self):
+        from cerberusnet_tpu.models import CerberusRAFT
+
+        m = CerberusRAFT(
+            encoder_channels=(8, 12, 16, 16, 16, 16),
+            num_classes=5,
+            fdim=16,
+            hdim=12,
+            cdim=8,
+            corr_levels=2,
+            radius=2,
+            iters=2,
+            fpn_channels=16,
+        )
+        imgs = tuple(
+            jax.random.normal(jax.random.PRNGKey(i), (1, 64, 64, 3))
+            for i in range(3)
+        )
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), *imgs)
+        out = jax.jit(m.apply)(v, *imgs)
+        assert out["seg_logits"].shape == (1, 64, 64, 5)
+        assert out["flow"].shape == (1, 64, 64, 2)
+        assert out["disp"].shape == (1, 64, 64)
+        assert out["flow_iterates"].shape == (2, 1, 8, 8, 2)
+        assert out["disp_iterates"].shape == (2, 1, 8, 8, 1)
+        for k in ("seg_logits", "flow", "disp"):
+            assert np.isfinite(np.asarray(out[k])).all()
+
+    def test_joint_train_step_all_components(self):
+        from cerberusnet_tpu.train.config import (
+            DataConfig,
+            ExperimentConfig,
+            ModelConfig,
+            TrainConfig,
+        )
+        from cerberusnet_tpu.train.trainer import Trainer
+
+        cfg = ExperimentConfig(
+            name="cerberus_raft_step",
+            model=ModelConfig(
+                variant="cerberus_raft",
+                encoder_channels=(8, 12, 16, 16, 16, 16),
+                num_classes=5,
+                raft_fdim=16,
+                raft_hdim=12,
+                raft_cdim=8,
+                raft_corr_levels=2,
+                raft_radius=2,
+                raft_iters=2,
+                fpn_channels=16,
+            ),
+            data=DataConfig(
+                dataset="synthetic",
+                hw=(64, 64),
+                batch_size=2,
+                num_workers=1,
+                synthetic_length=2,
+                shuffle=False,
+            ),
+            train=TrainConfig(epochs=1, log_every=1000, num_data_devices=1),
+        )
+        trainer = Trainer(cfg)
+        from cerberusnet_tpu.data.loader import DataLoader
+
+        batch = next(iter(DataLoader(trainer.dataset, batch_size=2, num_workers=1)))
+        comps = trainer.train_step(batch)
+        assert np.isfinite(float(comps["total"]))
+        # all three task losses (seg CE + flow sequence + disp sequence)
+        for k in ("seg", "flow", "disp"):
+            assert k in comps, comps.keys()
+
+
+class TestRAFTDataParallel:
+    def test_dp_train_step_8dev(self):
+        """RAFT under the ('data','spatial') mesh: one DP train step on the
+        8 fake devices with finite loss (the all-pairs einsum + gathers
+        must be partitionable along batch)."""
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 fake devices")
+        from cerberusnet_tpu.train.config import (
+            DataConfig,
+            ExperimentConfig,
+            ModelConfig,
+            TrainConfig,
+        )
+        from cerberusnet_tpu.train.trainer import Trainer
+
+        cfg = ExperimentConfig(
+            name="raft_dp",
+            model=ModelConfig(
+                variant="raft",
+                encoder_channels=(8, 12, 16, 16, 16, 16),
+                raft_fdim=16,
+                raft_hdim=12,
+                raft_cdim=8,
+                raft_corr_levels=2,
+                raft_radius=2,
+                raft_iters=2,
+            ),
+            data=DataConfig(
+                dataset="synthetic",
+                hw=(64, 64),
+                batch_size=8,
+                num_workers=1,
+                synthetic_length=8,
+                shuffle=False,
+            ),
+            train=TrainConfig(
+                epochs=1, log_every=1000, num_data_devices=8,
+                num_spatial_devices=1,
+            ),
+        )
+        trainer = Trainer(cfg)
+        from cerberusnet_tpu.data.loader import DataLoader
+
+        batch = next(iter(DataLoader(trainer.dataset, batch_size=8, num_workers=1)))
+        comps = trainer.train_step(batch)
+        assert np.isfinite(float(comps["total"]))
+
+
 class TestConvexUpsample:
     def test_uniform_mask_is_neighbourhood_mean(self):
         rng = np.random.RandomState(3)
