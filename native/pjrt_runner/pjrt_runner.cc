@@ -37,6 +37,19 @@
 //   PJRT_Executable_DeserializeAndLoad it and skip compilation entirely.
 //   Falls back to a fresh compile (and rewrites the cache) if the blob
 //   fails to load (e.g. plugin version changed).
+// --serve: persistent inference daemon (the deploy serving loop: the
+//   engine stays warm in one process, requests stream over stdin/stdout —
+//   what the reference's Xavier runtime does with its deserialized TRT
+//   engine). After compile/cache-load prints "READY <n_in> <n_out>\n" on
+//   stdout, then answers framed requests until EOF:
+//     "INFER\n" + the raw bytes of every manifest input in order (dense
+//       row-major, manifest dtype — the same bytes as --inputs files), or
+//     "PNGS p1,p2,...\n" (server-side native PNG decode+preprocess), or
+//     "QUIT\n" (exit 0).
+//   Response per request: "OK <n_out>\n" then per output one header line
+//     "OUT <dtype> <ndims> <d0> <d1> ... <nbytes>\n" followed by the raw
+//     bytes (dense row-major). A malformed request prints "ERR <msg>\n"
+//   and exits 1. Drive it with tools/runner_io.py serve-verify.
 //
 // Build: see Makefile (headers vendored from the XLA pjrt_c_api.h contract).
 
@@ -48,6 +61,7 @@
 #include <cstdio>
 #include <cstring>
 #include <fstream>
+#include <iostream>
 #include <sstream>
 #include <string>
 #include <vector>
@@ -190,11 +204,205 @@ std::vector<char> PngToInput(const std::string& path, int64_t want_h,
   return out;
 }
 
+void AwaitAndDestroyEvent(PJRT_Event* ev, const char* what) {
+  if (!ev) return;
+  PJRT_Event_Await_Args eargs;
+  std::memset(&eargs, 0, sizeof(eargs));
+  eargs.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+  eargs.event = ev;
+  Check(g_api->PJRT_Event_Await(&eargs), what);
+  PJRT_Event_Destroy_Args d;
+  std::memset(&d, 0, sizeof(d));
+  d.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+  d.event = ev;
+  g_api->PJRT_Event_Destroy(&d);
+}
+
+PJRT_Buffer* UploadInput(PJRT_Client* client, PJRT_Device* device,
+                         const Shape& s, const char* data) {
+  size_t itemsize;
+  PJRT_Buffer_Type type = DtypeToPjrt(s.dtype, &itemsize);
+  PJRT_Client_BufferFromHostBuffer_Args args;
+  std::memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+  args.client = client;
+  args.data = data;
+  args.type = type;
+  args.dims = s.dims.data();
+  args.num_dims = s.dims.size();
+  args.host_buffer_semantics =
+      PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+  args.device = device;
+  Check(g_api->PJRT_Client_BufferFromHostBuffer(&args),
+        "PJRT_Client_BufferFromHostBuffer");
+  AwaitAndDestroyEvent(args.done_with_host_buffer, "await h2d");
+  return args.buffer;
+}
+
+void DestroyBuffer(PJRT_Buffer* b) {
+  if (!b) return;
+  PJRT_Buffer_Destroy_Args d;
+  std::memset(&d, 0, sizeof(d));
+  d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+  d.buffer = b;
+  g_api->PJRT_Buffer_Destroy(&d);
+}
+
+// D2H readback as DENSE ROW-MAJOR host bytes (explicit host_layout: the
+// device layout is channel-major on the TPU backend — a silent transpose
+// for C>1 outputs without this).
+std::vector<char> ReadOutputDense(PJRT_Buffer* b, std::string* dtype,
+                                  std::vector<int64_t>* dims) {
+  PJRT_Buffer_Dimensions_Args dargs;
+  std::memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+  dargs.buffer = b;
+  Check(g_api->PJRT_Buffer_Dimensions(&dargs), "Buffer_Dimensions");
+  dims->assign(dargs.dims, dargs.dims + dargs.num_dims);
+
+  PJRT_Buffer_ElementType_Args targs;
+  std::memset(&targs, 0, sizeof(targs));
+  targs.struct_size = PJRT_Buffer_ElementType_Args_STRUCT_SIZE;
+  targs.buffer = b;
+  Check(g_api->PJRT_Buffer_ElementType(&targs), "Buffer_ElementType");
+  switch (targs.type) {
+    case PJRT_Buffer_Type_F32: *dtype = "float32"; break;
+    case PJRT_Buffer_Type_BF16: *dtype = "bfloat16"; break;
+    case PJRT_Buffer_Type_F16: *dtype = "float16"; break;
+    case PJRT_Buffer_Type_S32: *dtype = "int32"; break;
+    case PJRT_Buffer_Type_U8: *dtype = "uint8"; break;
+    default: *dtype = "unknown"; break;
+  }
+
+  std::vector<int64_t> m2m(dargs.num_dims);
+  for (size_t di = 0; di < dargs.num_dims; ++di)
+    m2m[di] = static_cast<int64_t>(dargs.num_dims - 1 - di);
+  PJRT_Buffer_MemoryLayout layout;
+  std::memset(&layout, 0, sizeof(layout));
+  layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+  layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+  layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+  layout.tiled.minor_to_major = m2m.data();
+  layout.tiled.minor_to_major_size = m2m.size();
+  PJRT_Buffer_ToHostBuffer_Args th;
+  std::memset(&th, 0, sizeof(th));
+  th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+  th.src = b;
+  th.host_layout = &layout;
+  Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "d2h size");
+  std::vector<char> host(th.dst_size);
+  th.dst = host.data();
+  Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "d2h read");
+  AwaitAndDestroyEvent(th.event, "await d2h");
+  return host;
+}
+
+// One synchronous execute; outputs land in `outputs` (caller destroys).
+void ExecuteOnce(PJRT_LoadedExecutable* exec,
+                 std::vector<PJRT_Buffer*>& inputs,
+                 std::vector<PJRT_Buffer*>& outputs) {
+  PJRT_ExecuteOptions exec_opts;
+  std::memset(&exec_opts, 0, sizeof(exec_opts));
+  exec_opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+  PJRT_Buffer** output_list = outputs.data();
+  PJRT_Buffer* const* input_list = inputs.data();
+  PJRT_LoadedExecutable_Execute_Args args;
+  std::memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+  args.executable = exec;
+  args.options = &exec_opts;
+  args.argument_lists = &input_list;
+  args.num_devices = 1;
+  args.num_args = inputs.size();
+  args.output_lists = &output_list;
+  PJRT_Event* done = nullptr;
+  args.device_complete_events = &done;
+  Check(g_api->PJRT_LoadedExecutable_Execute(&args), "Execute");
+  AwaitAndDestroyEvent(done, "await execute");
+}
+
+// The --serve daemon loop (see the usage comment at the top of the file).
+[[noreturn]] void ServeLoop(PJRT_Client* client, PJRT_Device* device,
+                            PJRT_LoadedExecutable* exec,
+                            const std::vector<Shape>& in_shapes,
+                            size_t num_outputs) {
+  auto err = [](const std::string& msg) {
+    std::printf("ERR %s\n", msg.c_str());
+    std::fflush(stdout);
+    std::exit(1);
+  };
+  std::printf("READY %zu %zu\n", in_shapes.size(), num_outputs);
+  std::fflush(stdout);
+  std::string line;
+  size_t requests = 0;
+  while (std::getline(std::cin, line)) {
+    if (!line.empty() && line.back() == '\r') line.pop_back();
+    if (line.empty()) continue;
+    if (line == "QUIT") break;
+    std::vector<std::vector<char>> host_in;
+    if (line == "INFER") {
+      for (const Shape& s : in_shapes) {
+        size_t itemsize;
+        DtypeToPjrt(s.dtype, &itemsize);
+        size_t n = itemsize;
+        for (int64_t d : s.dims) n *= static_cast<size_t>(d);
+        std::vector<char> buf(n);
+        std::cin.read(buf.data(), static_cast<std::streamsize>(n));
+        if (static_cast<size_t>(std::cin.gcount()) != n)
+          err("short read: expected " + std::to_string(n) + " bytes");
+        host_in.push_back(std::move(buf));
+      }
+    } else if (line.rfind("PNGS ", 0) == 0) {
+      std::vector<std::string> paths;
+      std::stringstream ss(line.substr(5));
+      std::string tok;
+      while (std::getline(ss, tok, ',')) paths.push_back(tok);
+      if (paths.size() != in_shapes.size())
+        err("PNGS count != manifest input count");
+      for (size_t ii = 0; ii < in_shapes.size(); ++ii) {
+        const Shape& s = in_shapes[ii];
+        if (s.dims.size() != 4 || s.dims[0] != 1 || s.dims[3] != 3)
+          err("PNGS expects (1, H, W, 3) image inputs");
+        host_in.push_back(
+            PngToInput(paths[ii], s.dims[1], s.dims[2], s.dtype));
+      }
+    } else {
+      err("unknown request '" + line + "'");
+    }
+
+    std::vector<PJRT_Buffer*> inputs;
+    for (size_t ii = 0; ii < in_shapes.size(); ++ii)
+      inputs.push_back(
+          UploadInput(client, device, in_shapes[ii], host_in[ii].data()));
+    std::vector<PJRT_Buffer*> outputs(num_outputs, nullptr);
+    ExecuteOnce(exec, inputs, outputs);
+    for (PJRT_Buffer* b : inputs) DestroyBuffer(b);
+
+    std::printf("OK %zu\n", num_outputs);
+    for (PJRT_Buffer* b : outputs) {
+      std::string dtype;
+      std::vector<int64_t> dims;
+      std::vector<char> host = ReadOutputDense(b, &dtype, &dims);
+      std::printf("OUT %s %zu", dtype.c_str(), dims.size());
+      for (int64_t d : dims) std::printf(" %lld", (long long)d);
+      std::printf(" %zu\n", host.size());
+      std::fwrite(host.data(), 1, host.size(), stdout);
+      DestroyBuffer(b);
+    }
+    std::fflush(stdout);
+    ++requests;
+  }
+  std::fprintf(stderr, "[pjrt_runner] serve: %zu request(s) handled\n",
+               requests);
+  std::exit(0);
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
   std::string plugin_path, model_path, inputs_arg, dump_dir, cache_dir;
   std::string pngs_arg;
+  bool serve = false;
   int iters = 10;
   std::vector<std::pair<std::string, std::string>> opts;
   for (int i = 1; i < argc; ++i) {
@@ -210,6 +418,7 @@ int main(int argc, char** argv) {
     else if (a == "--pngs") pngs_arg = next();
     else if (a == "--dump-outputs") dump_dir = next();
     else if (a == "--cache") cache_dir = next();
+    else if (a == "--serve") serve = true;
     else if (a == "--opt") {
       std::string kv = next();
       size_t eq = kv.find('=');
@@ -220,7 +429,8 @@ int main(int argc, char** argv) {
   if (plugin_path.empty() || model_path.empty())
     Die("usage: pjrt_runner --plugin <pjrt_plugin.so> --model <export_dir> "
         "[--iters N] [--opt k=v ...] [--inputs a.bin,...] "
-        "[--pngs a.png,b.png,...] [--dump-outputs DIR] [--cache DIR]");
+        "[--pngs a.png,b.png,...] [--dump-outputs DIR] [--cache DIR] "
+        "[--serve]");
   std::vector<std::string> input_files, png_files;
   if (!inputs_arg.empty()) {
     std::stringstream ss(inputs_arg);
@@ -502,6 +712,14 @@ int main(int argc, char** argv) {
     args.executable = plain_exec;
     Check(g_api->PJRT_Executable_NumOutputs(&args), "NumOutputs");
     num_outputs = args.num_outputs;
+  }
+
+  if (serve) {
+    std::fprintf(stderr,
+                 "[pjrt_runner] entering serve loop (compile %.1f ms, "
+                 "cached=%s)\n",
+                 compile_ms, cached ? "true" : "false");
+    ServeLoop(client, device, exec, in_shapes, num_outputs);
   }
 
   std::vector<PJRT_Buffer*> output_storage(num_outputs, nullptr);

@@ -190,6 +190,133 @@ def verify_pngs(export_dir: str, plugin: str, runner: str, seed: int = 0,
     return ok
 
 
+class ServeClient:
+    """Client for ``pjrt_runner --serve`` (framed stdin/stdout protocol —
+    see the runner's usage comment): spawn once, stream inference requests
+    against the warm executable."""
+
+    def __init__(self, export_dir: str, plugin: str, runner: str,
+                 cache: str = ""):
+        with open(os.path.join(export_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        cmd = [runner, "--plugin", plugin, "--model", export_dir, "--serve"]
+        if cache:
+            cmd += ["--cache", cache]
+        env = dict(os.environ)
+        if "axon" in os.path.basename(plugin):
+            for kv in ("remote_compile=1", "local_only=0", "priority=0",
+                       "topology=v5e:1x1x1", "n_slices=1",
+                       f"session_id=cpp-serve-{os.getpid()}"):
+                cmd += ["--opt", kv]
+            env.setdefault("AXON_POOL_SVC_OVERRIDE", "127.0.0.1")
+            env.setdefault("AXON_LOOPBACK_RELAY", "1")
+            env.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+        print("+", " ".join(cmd), file=sys.stderr)
+        self.proc = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE, env=env
+        )
+        ready = self._readline()
+        if not ready.startswith("READY"):
+            raise RuntimeError(f"runner not ready: {ready!r}")
+        _, n_in, n_out = ready.split()
+        self.n_in, self.n_out = int(n_in), int(n_out)
+
+    def _readline(self) -> str:
+        line = self.proc.stdout.readline()
+        if not line:
+            raise RuntimeError("runner closed its stdout")
+        return line.decode().rstrip("\n")
+
+    def _read_response(self):
+        header = self._readline()
+        if not header.startswith("OK"):
+            raise RuntimeError(f"runner error: {header!r}")
+        outs = []
+        for _ in range(int(header.split()[1])):
+            parts = self._readline().split()
+            assert parts[0] == "OUT", parts
+            dtype = parts[1]
+            ndims = int(parts[2])
+            shape = [int(x) for x in parts[3 : 3 + ndims]]
+            nbytes = int(parts[3 + ndims])
+            raw = self.proc.stdout.read(nbytes)
+            if len(raw) != nbytes:
+                raise RuntimeError("short output read")
+            outs.append(
+                np.frombuffer(raw, dtype=_np_dtype(dtype)).reshape(shape)
+            )
+        return outs
+
+    def infer(self, arrays):
+        """Run one request with raw tensors (cast to the manifest dtypes)."""
+        if len(arrays) != self.n_in:
+            raise ValueError(f"expected {self.n_in} inputs")
+        self.proc.stdin.write(b"INFER\n")
+        for a, spec in zip(arrays, self.manifest["inputs"]):
+            self.proc.stdin.write(
+                np.asarray(a).astype(_np_dtype(spec["dtype"])).tobytes()
+            )
+        self.proc.stdin.flush()
+        return self._read_response()
+
+    def infer_pngs(self, paths):
+        """Run one request with server-side native PNG decode."""
+        self.proc.stdin.write(f"PNGS {','.join(paths)}\n".encode())
+        self.proc.stdin.flush()
+        return self._read_response()
+
+    def close(self):
+        try:
+            self.proc.stdin.write(b"QUIT\n")
+            self.proc.stdin.flush()
+        except BrokenPipeError:
+            pass
+        self.proc.stdin.close()
+        return self.proc.wait(timeout=60)
+
+
+def verify_serve(export_dir: str, plugin: str, runner: str, seed: int = 0,
+                 rtol: float = 2e-2, atol: float = 2e-2,
+                 requests: int = 3) -> bool:
+    """Drive the --serve daemon: several random-input requests against ONE
+    warm process, each compared to the jax.export reference; per-request
+    wall time is reported so the warm-serving win over per-call process
+    startup is visible."""
+    import time
+
+    from cerberusnet_tpu.export.aot import load_exported
+
+    client = ServeClient(export_dir, plugin, runner)
+    exported = load_exported(export_dir)
+    rng = np.random.RandomState(seed)
+    ok = True
+    for r in range(requests):
+        arrays = [
+            rng.rand(*spec["shape"]).astype(np.float32)
+            for spec in client.manifest["inputs"]
+        ]
+        t0 = time.time()
+        native = client.infer(arrays)
+        dt = time.time() - t0
+        ref = exported.call(
+            *[a.astype(_np_dtype(s["dtype"]))
+              for a, s in zip(arrays, client.manifest["inputs"])]
+        )
+        if not isinstance(ref, (tuple, list)):
+            ref = (ref,)
+        for i, (n, rr) in enumerate(zip(native, ref)):
+            n32, r32 = np.asarray(n, np.float32), np.asarray(rr, np.float32)
+            good = np.allclose(n32, r32, rtol=rtol, atol=atol)
+            ok = ok and good
+            if not good:
+                print(f"request {r} output {i}: MISMATCH", file=sys.stderr)
+        print(f"serve request {r}: {dt*1e3:.1f} ms wall, "
+              f"{len(native)} outputs {'OK' if ok else 'MISMATCH'}")
+    rc = client.close()
+    print(f"serve daemon exited rc={rc}")
+    return ok and rc == 0
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -202,12 +329,19 @@ if __name__ == "__main__":
                    help="also verify the serialized-executable cache path")
     v.add_argument("--pngs", action="store_true",
                    help="verify the fully-native PNG serving path instead")
+    v.add_argument("--serve", action="store_true",
+                   help="verify the --serve daemon (warm multi-request)")
     v.add_argument(
         "--runner",
         default=os.path.join(os.path.dirname(__file__), "..", "native",
                              "pjrt_runner", "pjrt_runner"),
     )
     args = ap.parse_args()
+    if args.serve:
+        sys.exit(
+            0 if verify_serve(args.export_dir, args.plugin, args.runner)
+            else 1
+        )
     if args.pngs:
         sys.exit(
             0 if verify_pngs(args.export_dir, args.plugin, args.runner) else 1
