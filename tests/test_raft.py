@@ -310,6 +310,56 @@ class TestCerberusRAFT:
             assert k in comps, comps.keys()
 
 
+class TestRAFTOverfit:
+    def test_sequence_loss_decreases(self):
+        """SURVEY.md §5 item 6 for the iterative family: repeated steps on
+        one fixed batch must reduce the RAFT sequence loss (backward flows
+        through the scanned GRU, the lookup gathers, and the all-pairs
+        matmul)."""
+        from cerberusnet_tpu.train.config import (
+            DataConfig,
+            ExperimentConfig,
+            ModelConfig,
+            OptimConfig,
+            TrainConfig,
+        )
+        from cerberusnet_tpu.train.trainer import Trainer
+
+        cfg = ExperimentConfig(
+            name="raft_overfit",
+            model=ModelConfig(
+                variant="raft",
+                encoder_channels=(8, 12, 16, 16, 16, 16),
+                raft_fdim=16,
+                raft_hdim=12,
+                raft_cdim=8,
+                raft_corr_levels=2,
+                raft_radius=2,
+                raft_iters=2,
+            ),
+            data=DataConfig(
+                dataset="synthetic",
+                hw=(64, 64),
+                batch_size=2,
+                num_workers=1,
+                synthetic_length=2,
+                shuffle=False,
+            ),
+            optim=OptimConfig(lr=1e-3, schedule="constant", total_steps=100),
+            train=TrainConfig(epochs=1, log_every=1000, num_data_devices=1),
+        )
+        trainer = Trainer(cfg)
+        from cerberusnet_tpu.data.loader import DataLoader
+
+        batch = next(iter(DataLoader(trainer.dataset, batch_size=2, num_workers=1)))
+        first = float(trainer.train_step(batch)["flow"])
+        last = first
+        for _ in range(9):
+            last = float(trainer.train_step(dict(batch))["flow"])
+        assert np.isfinite(last)
+        assert last < first * 0.9, (first, last)
+
+
 class TestRAFTDataParallel:
     def test_dp_train_step_8dev(self):
         """RAFT under the ('data','spatial') mesh: one DP train step on the
