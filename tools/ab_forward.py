@@ -25,6 +25,9 @@ import statistics
 import sys
 import time
 
+# Remote compiles dominate this tool's runtime; persist them like bench.py.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-bench")
+
 import jax
 import jax.numpy as jnp
 
