@@ -22,6 +22,27 @@ def _fetch(x):
     return float(jax.device_get(x))
 
 
+def _perturb(args, acc):
+    """Data-dependently perturb EVERY inexact array argument for the next
+    unrolled iteration. Perturbing only the first argument is not enough:
+    any computation that consumes only the un-perturbed args is
+    loop-invariant, and XLA CSE merges it across iterations — measured
+    round 3 (tools/dce_check.py): with only `left` perturbed, the unrolled
+    3-head CerberusNet program kept 564 of the expected 636 convolutions
+    (the right/temporal encoder pyramids ran ONCE for the whole unroll),
+    so the two-point slope silently excluded ~17% of the per-frame convs."""
+    eps = acc * 1e-20
+    return tuple(
+        jax.tree.map(
+            lambda a: a + eps.astype(a.dtype)
+            if jnp.issubdtype(jnp.result_type(a), jnp.inexact)
+            else a,
+            arg,
+        )
+        for arg in args
+    )
+
+
 def roundtrip_floor(repeats: int = 3) -> float:
     """Seconds for dispatch+fetch of a trivial jitted scalar program."""
 
@@ -95,13 +116,13 @@ def time_fn(
 
     def build(n):
         @jax.jit
-        def run(x0, *rest):
+        def run(*args0):
             acc = jnp.float32(0)
-            x = x0
+            cur = args0
             for _ in range(n):
-                out = fn(x, *rest)
+                out = fn(*cur)
                 acc = acc + reduce_out(out).astype(jnp.float32)
-                x = x0 + (acc * 1e-20).astype(x0.dtype)
+                cur = _perturb(args0, acc)
             return acc
 
         return run
@@ -158,13 +179,13 @@ def time_fn_two_point(
     if build is None:
         def build(n):
             @jax.jit
-            def run(x0, *rest):
+            def run(*args0):
                 acc = jnp.float32(0)
-                x = x0
+                cur = args0
                 for _ in range(n):
-                    out = fn(x, *rest)
+                    out = fn(*cur)
                     acc = acc + reduce_out(out).astype(jnp.float32)
-                    x = x0 + (acc * 1e-20).astype(x0.dtype)
+                    cur = _perturb(args0, acc)
                 return acc
 
             return run
