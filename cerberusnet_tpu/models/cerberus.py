@@ -42,7 +42,7 @@ class CerberusNet(nn.Module):
     fused: bool = True  # fused estimator+prediction convs (identical math)
     corr_stack: str = "major"  # cost-volume assembly (ops/correlation.py)
     distribute_outputs: bool = True  # skip estimator output-stack concats
-    upfeat_impl: str = "convt"  # convt | subpixel (identical math, A/B knob)
+    upfeat_impl: str = "subpixel"  # subpixel | convt (identical math; subpixel won the honest interleaved A/B r3: 11.90 vs 12.48 ms/frame)
     batched_encoder: bool = False  # one B*3 encoder pass (identical math)
     s2d_stem: bool = False  # space-to-depth level-1 conv (identical math)
     seg_head: str = "fpn"  # fpn | aspp (models/segmentation.py factory)

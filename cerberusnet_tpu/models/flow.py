@@ -54,7 +54,7 @@ class FlowDecoder(nn.Module):
     # perf knobs, bit-identical math (A/B'd in tools/ab_forward.py):
     corr_stack: str = "major"  # cost-volume assembly (ops/correlation.py)
     distribute_outputs: bool = True  # skip estimator output-stack concat
-    upfeat_impl: str = "convt"  # convt | subpixel (identical math, A/B knob)
+    upfeat_impl: str = "subpixel"  # subpixel | convt (identical math; r3 A/B winner)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

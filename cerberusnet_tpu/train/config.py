@@ -36,7 +36,7 @@ class ModelConfig:
     # perf knobs, A/B'd in tools/ab_forward.py.
     corr_stack: str = "major"
     distribute_outputs: bool = True
-    upfeat_impl: str = "convt"  # convt | subpixel (models/common.py)
+    upfeat_impl: str = "subpixel"  # subpixel | convt (models/common.py)
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     # RAFT family (models/raft.py) — iterative all-pairs refinement:
     raft_iters: int = 12

@@ -166,6 +166,16 @@ def variant_sets():
             "subpixel": dict(upfeat_impl="subpixel"),
             "subpixel+s2d": dict(upfeat_impl="subpixel", s2d_stem=True),
         },
+        # encoder batching (round-3 re-race): the round-2 "batched loses
+        # 1.2-1.4 ms" verdict came from the DCE'd harness, where 1-2 of the
+        # 3 encoder passes were pruned/CSE'd — understating the batched
+        # formulation's benefit by construction.
+        "enc": {
+            "separate (base)": dict(),
+            "batched": dict(batched_encoder=True),
+            "batched+subpixel": dict(batched_encoder=True,
+                                     upfeat_impl="subpixel"),
+        },
     }
 
 

@@ -1,0 +1,132 @@
+"""MFU denominator: analytic FLOPs/frame per model + achieved TFLOP/s.
+
+VERDICT r2 item 2: perf work had no denominator — fps moved (or didn't)
+with no statement of how far from the hardware ceiling the model runs.
+This tool publishes the denominator:
+
+  * FLOPs/frame from XLA's own cost model (``compiled.cost_analysis()``)
+    on the CPU backend at two small shapes, verified affine in the pixel
+    count and extrapolated to the target shape (convs, correlation windows
+    and elementwise work all scale linearly in H*W; the affine fit removes
+    the fixed per-program overhead term);
+  * achieved TFLOP/s = FLOPs/frame x fps (pass --fps, e.g. from bench.py);
+  * utilization vs the v5e bf16 peak (197 TFLOP/s, public spec) AND vs the
+    chip slice's measured matmul ceiling (tools/matmul_sol.py), which on
+    this tunneled slice may be below the paper peak.
+
+Usage:
+  python tools/mfu.py                         # all models, FLOPs table
+  python tools/mfu.py --model cerberus --fps 95.9
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+V5E_BF16_PEAK_TFLOPS = 197.0  # public v5e spec (bf16, per chip)
+
+
+def _build(name: str, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from cerberusnet_tpu import models
+
+    if name == "cerberus":
+        return models.CerberusNet(dtype=dtype), 3
+    if name == "dcv":
+        return models.CerberusDCV(dtype=dtype), 3
+    if name == "raft":
+        return models.RAFTFlowNet(dtype=dtype), 2
+    if name == "seg":
+        return models.SegNet(dtype=dtype), 1
+    if name == "flow":
+        return models.FlowNet(dtype=dtype), 2
+    if name == "stereo":
+        return models.StereoNet(dtype=dtype), 2
+    raise SystemExit(f"unknown model {name}")
+
+
+def flops_at(model, n_in, hw, batch=1):
+    import jax
+    import jax.numpy as jnp
+
+    h, w = hw
+    imgs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (batch, h, w, 3), jnp.bfloat16)
+        for i in range(n_in)
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
+
+    def fwd(*xs):
+        out = model.apply(variables, *xs)
+        # consume every output: DCE'd heads must not vanish from the count
+        leaves = jax.tree.leaves(out)
+        return sum(x.astype(jnp.float32).mean() for x in leaves)
+
+    compiled = jax.jit(fwd).lower(*imgs).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # older jax returns [dict]
+        cost = cost[0]
+    return float(cost["flops"])
+
+
+def flops_per_frame(name: str, target_hw=(512, 1024)):
+    """Affine fit F(pixels) = a*pixels + b over two probe shapes, evaluated
+    at the target pixel count. Returns (flops_at_target, rel_nonlinearity)
+    where the latter sanity-checks the linear-in-area model on a third
+    shape."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    model, n_in = _build(name, jnp.bfloat16)
+    shapes = [(64, 128), (128, 256)]
+    px = [h * w for h, w in shapes]
+    fl = [flops_at(model, n_in, s) for s in shapes]
+    a = (fl[1] - fl[0]) / (px[1] - px[0])
+    b = fl[0] - a * px[0]
+    # third-point check: 64x192 is off the fit grid (H, W must both stay
+    # divisible by 64 — six pyramid halvings)
+    h3, w3 = 64, 192
+    f3 = flops_at(model, n_in, (h3, w3))
+    pred3 = a * h3 * w3 + b
+    rel = abs(f3 - pred3) / f3
+    target = a * (target_hw[0] * target_hw[1]) + b
+    return target, rel
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None,
+                    help="cerberus|dcv|raft|seg|flow|stereo (default: all)")
+    ap.add_argument("--hw", type=int, nargs=2, default=(512, 1024))
+    ap.add_argument("--fps", type=float, default=None,
+                    help="measured fps/chip to convert into TFLOP/s")
+    ap.add_argument("--peak", type=float, default=V5E_BF16_PEAK_TFLOPS,
+                    help="chip peak TFLOP/s for the utilization column")
+    args = ap.parse_args()
+
+    names = [args.model] if args.model else [
+        "cerberus", "dcv", "raft", "seg", "flow", "stereo"
+    ]
+    print(f"# FLOPs/frame at {args.hw[0]}x{args.hw[1]} "
+          f"(XLA cost model, affine-in-pixels fit)")
+    for name in names:
+        fl, rel = flops_per_frame(name, tuple(args.hw))
+        line = (f"{name:>9}: {fl / 1e12:7.4f} TFLOP/frame  "
+                f"(linearity check: {rel * 100:.2f}% off at 96x192)")
+        if args.fps:
+            tps = fl * args.fps / 1e12
+            line += (f"  @ {args.fps:.1f} fps -> {tps:6.2f} TFLOP/s "
+                     f"= {tps / args.peak * 100:5.1f}% of "
+                     f"{args.peak:.0f} TFLOP/s peak")
+        print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()

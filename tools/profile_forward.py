@@ -71,15 +71,20 @@ def main():
 
         fetch = lambda: float(run(variables["params"], opt_state))  # noqa: E731
     else:
+        from cerberusnet_tpu.utils.benchutil import _perturb
+        from tools.ab_forward import reduce_all
 
+        # Full-model program: consume every head and perturb every input
+        # per iteration, or XLA DCE/CSE prunes whole decoders from the
+        # profiled graph (VERDICT r2 W1; tools/dce_check.py).
         @jax.jit
-        def run(left, right, temporal):
+        def run(*imgs0):
             acc = jnp.float32(0)
-            x = left
+            cur = imgs0
             for _ in range(args.iters):
-                out = model.apply(variables, x, right, temporal)
-                acc = acc + out["flow"].astype(jnp.float32).mean()
-                x = left + (acc * 1e-20).astype(left.dtype)
+                out = model.apply(variables, *cur)
+                acc = acc + reduce_all(out)
+                cur = _perturb(imgs0, acc)
             return acc
 
         fetch = lambda: float(run(*imgs))  # noqa: E731
