@@ -43,7 +43,8 @@ class CerberusNet(nn.Module):
     corr_stack: str = "major"  # cost-volume assembly (ops/correlation.py)
     distribute_outputs: bool = True  # skip estimator output-stack concats
     upfeat_impl: str = "subpixel"  # subpixel | convt (identical math; subpixel won the honest interleaved A/B r3: 11.90 vs 12.48 ms/frame)
-    batched_encoder: bool = False  # one B*3 encoder pass (identical math)
+    upsample_impl: str = "resize"  # resize | phase (identical math; common.py)
+    batched_encoder: bool = True  # one B*3 encoder pass (identical math; won the honest r3 A/B: 10.8/10.0 vs 12.0 ms/frame — the round-2 "loses" verdict came from the DCE'd harness)
     s2d_stem: bool = False  # space-to-depth level-1 conv (identical math)
     seg_head: str = "fpn"  # fpn | aspp (models/segmentation.py factory)
     dtype: jnp.dtype = jnp.float32
@@ -63,10 +64,11 @@ class CerberusNet(nn.Module):
                                  s2d_stem=self.s2d_stem)
         if self.batched_encoder:
             # One batched encoder application over the three frames:
-            # identical math; 1.25x faster STANDALONE on v5e, but the
-            # per-level batch-split slices cost relayout copies downstream —
-            # measured net-NEGATIVE in the full jitted graph, so off by
-            # default (same fusion-boundary lesson as ops/correlation.py).
+            # identical math. Round 2 measured this net-negative, but that
+            # verdict came from the DCE'd harness (1-2 of the 3 encoder
+            # passes were pruned, understating the batched benefit by
+            # construction); the honest round-3 interleaved A/B has it
+            # WINNING 10.8 vs 12.0 ms/frame median, so it is the default.
             b = left.shape[0]
             feats = encoder(jnp.concatenate([left, right, temporal], axis=0))
             f_left = [f[:b] for f in feats]
@@ -86,6 +88,7 @@ class CerberusNet(nn.Module):
             corr_stack=self.corr_stack,
             distribute_outputs=self.distribute_outputs,
             upfeat_impl=self.upfeat_impl,
+            upsample_impl=self.upsample_impl,
             dtype=self.dtype,
         )(f_left, f_right)
         flow_out = FlowDecoder(
@@ -97,6 +100,7 @@ class CerberusNet(nn.Module):
             corr_stack=self.corr_stack,
             distribute_outputs=self.distribute_outputs,
             upfeat_impl=self.upfeat_impl,
+            upsample_impl=self.upsample_impl,
             dtype=self.dtype,
         )(f_left, f_temporal)
         seg_logits = make_seg_head(

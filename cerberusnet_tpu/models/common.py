@@ -23,10 +23,49 @@ def leaky(x):
     return nn.leaky_relu(x, negative_slope=0.1)
 
 
-def upsample2x(x, method: str = "bilinear"):
-    """Spatial x2 upsample of an NHWC tensor."""
+def upsample2x(x, method: str = "bilinear", impl: str = "resize"):
+    """Spatial x2 upsample of an NHWC tensor.
+
+    impl="resize" goes through jax.image.resize (gather/matmul lowering);
+    impl="phase" uses the phase-split formulation below — same math
+    (half-pixel bilinear, edge-renormalized) to fp-reassociation tolerance,
+    but lowered entirely as slices + weighted adds + an interleave reshape,
+    with no spatial-dim matmuls or transposes for XLA to relayout around.
+    """
+    if impl == "phase" and method == "bilinear":
+        return upsample2x_phase(x)
     b, h, w, c = x.shape
     return jax.image.resize(x, (b, 2 * h, 2 * w, c), method=method)
+
+
+def _up2_phase_dim(x, axis: int):
+    """Half-pixel bilinear 2x along one spatial axis.
+
+    Output o maps to input (o + 0.5)/2 - 0.5, so the two output phases are
+    2-tap filters of the input: y[2q] = 0.25*x[q-1] + 0.75*x[q] and
+    y[2q+1] = 0.75*x[q] + 0.25*x[q+1]. At the borders jax.image.resize drops
+    the out-of-range tap and renormalizes the row to sum 1, which is exactly
+    edge-clamping (0.25*x[0] + 0.75*x[0] = x[0]) — equality to resize is
+    pinned by tests/test_models.py::TestUpsamplePhase."""
+    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)
+    prev = jnp.concatenate(
+        [first, jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)], axis
+    )
+    nxt = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis), last], axis
+    )
+    even = 0.25 * prev + 0.75 * x
+    odd = 0.75 * x + 0.25 * nxt
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] *= 2
+    return stacked.reshape(shape)
+
+
+def upsample2x_phase(x):
+    """Bilinear 2x upsample as two separable phase-split passes (H then W)."""
+    return _up2_phase_dim(_up2_phase_dim(x, 1), 2)
 
 
 def upsample_to(x, hw, method: str = "bilinear"):
@@ -35,16 +74,14 @@ def upsample_to(x, hw, method: str = "bilinear"):
 
 
 def encode_pair(encoder, im1, im2):
-    """Encode both frames with the shared encoder.
+    """Encode both frames with the shared encoder (two separate passes).
 
-    Two SEPARATE applications, deliberately: batching the frames into one
-    B*2 encoder pass is 1.25x faster standalone on v5e, but the per-level
-    batch-split slices force relayout copies at every downstream consumer —
-    interleaved A/B on the joint model measured it 1.2-1.4 ms SLOWER
-    end-to-end (9.7 -> 11.0 ms). Same fusion-boundary lesson as the
-    correlation dispatch (ops/correlation.py docstring); the batched
-    variant is kept behind CerberusNet.batched_encoder for re-evaluation
-    on future compiler versions."""
+    History: round 2 measured the batched single-pass variant 1.2-1.4 ms
+    SLOWER end-to-end, but that A/B raced a DCE'd graph (the harness pruned
+    1-2 of the encoder passes); the honest round-3 harness has the batched
+    encoder WINNING on the joint model (10.8 vs 12.0 ms/frame median), and
+    CerberusNet.batched_encoder now defaults True. The two-frame single-task
+    models keep separate passes until raced honestly on their own graphs."""
     return encoder(im1), encoder(im2)
 
 

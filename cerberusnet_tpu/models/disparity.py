@@ -50,6 +50,7 @@ class DisparityDecoder(nn.Module):
     corr_stack: str = "major"  # cost-volume assembly (ops/correlation.py)
     distribute_outputs: bool = True  # skip estimator output-stack concat
     upfeat_impl: str = "subpixel"  # subpixel | convt (identical math; r3 A/B winner)
+    upsample_impl: str = "resize"  # resize | phase (identical math; common.py)
     dtype: jnp.dtype = jnp.float32
 
     def level_max_disp(self, level: int) -> int:
@@ -67,7 +68,7 @@ class DisparityDecoder(nn.Module):
                 f2w = f2
                 inputs = []
             else:
-                up_disp = 2.0 * upsample2x(disp)
+                up_disp = 2.0 * upsample2x(disp, impl=self.upsample_impl)
                 f2w = warp1d(f2, up_disp)
                 inputs = [up_disp, up_feat]
             cost = leaky(
@@ -135,7 +136,9 @@ class DisparityDecoder(nn.Module):
                     )(x)
                 )
             disp_pyramid[l] = disp
-        full = 4.0 * upsample2x(upsample2x(disp))
+        full = 4.0 * upsample2x(
+            upsample2x(disp, impl=self.upsample_impl), impl=self.upsample_impl
+        )
         return {"disp": full, "disp_pyramid": disp_pyramid}
 
 

@@ -55,6 +55,7 @@ class FlowDecoder(nn.Module):
     corr_stack: str = "major"  # cost-volume assembly (ops/correlation.py)
     distribute_outputs: bool = True  # skip estimator output-stack concat
     upfeat_impl: str = "subpixel"  # subpixel | convt (identical math; r3 A/B winner)
+    upsample_impl: str = "resize"  # resize | phase (identical math; common.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -69,7 +70,7 @@ class FlowDecoder(nn.Module):
                 f2w = f2
                 inputs = []
             else:
-                up_flow = 2.0 * upsample2x(flow)
+                up_flow = 2.0 * upsample2x(flow, impl=self.upsample_impl)
                 f2w = warp2d(f2, up_flow)
                 inputs = [up_flow, up_feat]
             cost = leaky(
@@ -140,7 +141,9 @@ class FlowDecoder(nn.Module):
                 )
             flow_pyramid[l] = flow
         # Full-resolution flow: level-2 prediction x4 in size and magnitude.
-        full = 4.0 * upsample2x(upsample2x(flow))
+        full = 4.0 * upsample2x(
+            upsample2x(flow, impl=self.upsample_impl), impl=self.upsample_impl
+        )
         return {"flow": full, "flow_pyramid": flow_pyramid}
 
 

@@ -37,6 +37,8 @@ class ModelConfig:
     corr_stack: str = "major"
     distribute_outputs: bool = True
     upfeat_impl: str = "subpixel"  # subpixel | convt (models/common.py)
+    upsample_impl: str = "resize"  # resize | phase (models/common.py)
+    batched_encoder: bool = True  # one B*3 encoder pass (r3 A/B winner)
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     # RAFT family (models/raft.py) — iterative all-pairs refinement:
     raft_iters: int = 12

@@ -85,6 +85,8 @@ def build_model(cfg: ModelConfig):
             corr_stack=cfg.corr_stack,
             distribute_outputs=cfg.distribute_outputs,
             upfeat_impl=cfg.upfeat_impl,
+            upsample_impl=cfg.upsample_impl,
+            batched_encoder=cfg.batched_encoder,
             **common,
         )
 

@@ -277,3 +277,33 @@ def test_s2d_stem_identical_outputs():
         np.testing.assert_allclose(
             np.asarray(o0[key]), np.asarray(o1[key]), atol=2e-4, rtol=2e-4
         )
+
+
+class TestUpsamplePhase:
+    """upsample2x_phase == jax.image.resize bilinear 2x (models/common.py):
+    the phase-split formulation must be numerically identical so the
+    upsample_impl perf knob never changes model semantics."""
+
+    @pytest.mark.parametrize("shape", [(1, 5, 7, 3), (2, 8, 16, 2), (1, 1, 4, 1)])
+    def test_matches_resize(self, shape):
+        from cerberusnet_tpu.models.common import upsample2x, upsample2x_phase
+
+        x = jnp.asarray(np.random.RandomState(0).randn(*shape), jnp.float32)
+        ref = upsample2x(x)  # jax.image.resize bilinear
+        got = upsample2x_phase(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-6)
+
+    def test_model_outputs_identical(self, images):
+        m0 = CerberusNet(fpn_channels=16, **TINY)
+        m1 = CerberusNet(fpn_channels=16, upsample_impl="phase", **TINY)
+        v = jax.jit(m0.init)(jax.random.PRNGKey(0), *images)
+        assert jax.tree.structure(v) == jax.tree.structure(
+            jax.jit(m1.init)(jax.random.PRNGKey(0), *images)
+        )
+        o0 = jax.jit(m0.apply)(v, *images)
+        o1 = jax.jit(m1.apply)(v, *images)
+        for key in ("seg_logits", "flow", "disp"):
+            np.testing.assert_allclose(
+                np.asarray(o0[key]), np.asarray(o1[key]), atol=2e-4, rtol=2e-4
+            )

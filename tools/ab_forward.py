@@ -166,15 +166,22 @@ def variant_sets():
             "subpixel": dict(upfeat_impl="subpixel"),
             "subpixel+s2d": dict(upfeat_impl="subpixel", s2d_stem=True),
         },
-        # encoder batching (round-3 re-race): the round-2 "batched loses
-        # 1.2-1.4 ms" verdict came from the DCE'd harness, where 1-2 of the
-        # 3 encoder passes were pruned/CSE'd — understating the batched
-        # formulation's benefit by construction.
+        # bilinear-2x lowering (round 3): jax.image.resize lowers the spatial
+        # interpolation as per-dim dense matmuls that need the spatial dim
+        # contracted (transposes/relayouts); the phase-split form is pure
+        # slices + weighted adds + an interleave reshape (models/common.py
+        # upsample2x_phase — same math, pinned by tests).
+        "upsample": {
+            "resize (base)": dict(),
+            "phase": dict(upsample_impl="phase"),
+        },
+        # encoder batching: the round-2 "batched loses 1.2-1.4 ms" verdict
+        # came from the DCE'd harness (1-2 of the 3 encoder passes pruned);
+        # the honest r3 re-race had batched WINNING 10.8 vs 12.0 ms/frame
+        # median and it is now the default — this set races the rollback.
         "enc": {
-            "separate (base)": dict(),
-            "batched": dict(batched_encoder=True),
-            "batched+subpixel": dict(batched_encoder=True,
-                                     upfeat_impl="subpixel"),
+            "batched (base)": dict(),
+            "separate": dict(batched_encoder=False),
         },
     }
 
@@ -217,11 +224,18 @@ def main():
                    else forward_builder(model, variables))
         if args.census and not args.train:
             c1, cn = census_convs(model, variables, imgs, builder, n1)
-            ok = "OK" if cn == n1 * c1 else "DCE!"
-            print(f"[census] {name}: single={c1} convs, "
-                  f"unroll{n1}={cn} (expect {n1 * c1}) {ok}", flush=True)
-            if cn != n1 * c1:
-                raise SystemExit(f"DCE detected in variant {name}")
+            if c1 == 0:
+                # The axon remote executable's as_text() carries no countable
+                # convolution ops — the tripwire is vacuous on this backend.
+                # The CPU-backend equality is pinned in tests/test_ab_harness.py.
+                print(f"[census] {name}: backend HLO text has no countable "
+                      "convs — tripwire skipped (CPU test pins it)", flush=True)
+            else:
+                ok = "OK" if cn == n1 * c1 else "DCE!"
+                print(f"[census] {name}: single={c1} convs, "
+                      f"unroll{n1}={cn} (expect {n1 * c1}) {ok}", flush=True)
+                if cn != n1 * c1:
+                    raise SystemExit(f"DCE detected in variant {name}")
         pair = (builder(n1), builder(n2))
         for r in pair:
             _fetch(r(*imgs))  # compile + warmup

@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--iters", type=int, nargs=2, default=(2, 7))
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--flatten", action="store_true")
+    ap.add_argument("--upsample", default="resize", choices=("resize", "phase"),
+                    help="bilinear-2x lowering (models/common.py upsample2x)")
     ap.add_argument("--segments", nargs="*",
                     default=("fwd", "fwdbwd", "full"))
     args = ap.parse_args()
@@ -52,7 +54,7 @@ def main():
     from cerberusnet_tpu.train import losses
     from cerberusnet_tpu.utils.benchutil import _perturb, time_fn_two_point
 
-    model = CerberusNet(dtype=jnp.bfloat16)
+    model = CerberusNet(dtype=jnp.bfloat16, upsample_impl=args.upsample)
     b, (h, w) = args.batch, args.hw
     imgs = tuple(
         jax.random.normal(jax.random.PRNGKey(i), (b, h, w, 3), jnp.bfloat16)
@@ -141,6 +143,8 @@ def main():
         tag.append("remat")
     if args.flatten:
         tag.append("flatten")
+    if args.upsample != "resize":
+        tag.append(f"upsample={args.upsample}")
     print(f"# train breakdown b{b} {h}x{w} bf16 "
           f"iters={tuple(args.iters)} {'+'.join(tag) or 'base'}")
     results = {}
