@@ -50,7 +50,12 @@ def segmentation_loss(logits, labels, ignore_index: int = 255, focal_gamma=None)
     valid = (labels != ignore_index).astype(jnp.float32)
     safe_labels = jnp.where(labels == ignore_index, 0, labels)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    # one-hot dot instead of take_along_axis: a full-res gather forces a
+    # slow per-pixel dynamic-gather (and a scatter in the VJP); the one-hot
+    # multiply+reduce fuses into the softmax chain and is exactly equal
+    # (single nonzero per pixel).
+    onehot = jax.nn.one_hot(safe_labels, num_classes, dtype=jnp.float32)
+    ll = jnp.sum(logp * onehot, axis=-1)
     ce = -ll
     if focal_gamma is not None:
         ce = ce * (1.0 - jnp.exp(ll)) ** focal_gamma
@@ -131,6 +136,39 @@ def rmi_loss(
 # ---------------------------------------------------------------------------
 
 
+def _sumpool2(x):
+    """2x2 stride-2 sum pool of an NHWC tensor (one cascade step)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).sum(axis=(2, 4))
+
+
+def _gt_sums_cascade(gt, valid, levels):
+    """Yield (level, gsum, vsum) for each requested level via cascaded 2x2
+    sum pools: sums over 2^l x 2^l cells are associative, so pooling the
+    previous level's SUMS is exactly the one-shot reduce_window (up to f32
+    add reassociation) while reading the full-res GT once instead of once
+    per level — the one-shot form cost one full-res reduce_window per level
+    per task in every train step.
+    """
+    vm = valid[..., None].astype(jnp.float32)
+    gsum = gt.astype(jnp.float32) * vm
+    vsum = vm
+    cur = 0
+    for level in sorted(levels):
+        while cur < level:
+            gsum = _sumpool2(gsum)
+            vsum = _sumpool2(vsum)
+            cur += 1
+        yield level, gsum, vsum
+
+
+def _finalize_gt(gsum, vsum, level, scale_values: bool):
+    gt_l = jnp.where(vsum > 0, gsum / jnp.maximum(vsum, 1.0), 0.0)
+    if scale_values:
+        gt_l = gt_l / (2**level)
+    return gt_l, (vsum[..., 0] > 0).astype(jnp.float32)
+
+
 def downsample_gt(gt, valid, level: int, scale_values: bool):
     """Valid-aware average pooling of dense-or-sparse GT to pyramid level.
 
@@ -138,25 +176,18 @@ def downsample_gt(gt, valid, level: int, scale_values: bool):
     gt_l is the mean over valid source pixels in each 2^level x 2^level cell
     and valid_l marks cells with any valid source. Flow/disparity values are
     divided by 2^level when scale_values (SURVEY.md §9.5 resize scaling).
+    Computed as a cascade of 2x2 sum pools (see _gt_sums_cascade).
     """
-    f = 2**level
-    b, h, w, c = gt.shape
-    vm = valid[..., None].astype(jnp.float32)
-    gsum = jax.lax.reduce_window(
-        gt.astype(jnp.float32) * vm,
-        0.0,
-        jax.lax.add,
-        (1, f, f, 1),
-        (1, f, f, 1),
-        "VALID",
-    )
-    vsum = jax.lax.reduce_window(
-        vm, 0.0, jax.lax.add, (1, f, f, 1), (1, f, f, 1), "VALID"
-    )
-    gt_l = jnp.where(vsum > 0, gsum / jnp.maximum(vsum, 1.0), 0.0)
-    if scale_values:
-        gt_l = gt_l / f
-    return gt_l, (vsum[..., 0] > 0).astype(jnp.float32)
+    (_, gsum, vsum), = _gt_sums_cascade(gt, valid, (level,))
+    return _finalize_gt(gsum, vsum, level, scale_values)
+
+
+def gt_pyramid(gt, valid, levels, scale_values: bool):
+    """{level: (gt_l, valid_l)} for all levels with ONE shared sum cascade."""
+    return {
+        level: _finalize_gt(gsum, vsum, level, scale_values)
+        for level, gsum, vsum in _gt_sums_cascade(gt, valid, levels)
+    }
 
 
 def multiscale_flow_loss(
@@ -177,8 +208,9 @@ def multiscale_flow_loss(
     if valid is None:
         valid = jnp.ones(gt_flow.shape[:3], jnp.float32)
     total = 0.0
+    pyr = gt_pyramid(gt_flow, valid, flow_pyramid.keys(), scale_values=True)
     for level, flow_l in flow_pyramid.items():
-        gt_l, valid_l = downsample_gt(gt_flow, valid, level, scale_values=True)
+        gt_l, valid_l = pyr[level]
         diff = flow_l.astype(jnp.float32) - gt_l
         if robust_q is not None:
             err = (jnp.sum(jnp.abs(diff), axis=-1) + robust_eps) ** robust_q
@@ -301,8 +333,9 @@ def multiscale_disparity_loss(
     if valid is None:
         valid = jnp.ones(gt_disp.shape[:3], jnp.float32)
     total = 0.0
+    pyr = gt_pyramid(gt_disp, valid, disp_pyramid.keys(), scale_values=True)
     for level, disp_l in disp_pyramid.items():
-        gt_l, valid_l = downsample_gt(gt_disp, valid, level, scale_values=True)
+        gt_l, valid_l = pyr[level]
         total = total + level_weights.get(level, 0.0) * berhu_loss(
             disp_l, gt_l[..., 0], valid_l
         )

@@ -245,3 +245,53 @@ class TestJointLoss:
         batch = {"seg_labels": jnp.zeros((1, 4, 4), jnp.int32)}
         total, comps = losses.joint_loss(outputs, batch)
         assert set(comps) == {"seg", "total"}
+
+
+class TestLossLoweringEquivalence:
+    """The round-3 TPU lowerings (cascaded GT sum-pools, one-hot CE) must be
+    numerically identical to the straightforward formulations."""
+
+    def test_downsample_cascade_equals_one_shot(self):
+        rng = np.random.RandomState(0)
+        gt = jnp.asarray(rng.randn(2, 64, 128, 2), jnp.float32)
+        valid = jnp.asarray((rng.rand(2, 64, 128) > 0.3), jnp.float32)
+        for level in (1, 2, 4, 6):
+            f = 2 ** level
+            vm = valid[..., None]
+            gsum = jax.lax.reduce_window(
+                gt * vm, 0.0, jax.lax.add, (1, f, f, 1), (1, f, f, 1), "VALID"
+            )
+            vsum = jax.lax.reduce_window(
+                vm, 0.0, jax.lax.add, (1, f, f, 1), (1, f, f, 1), "VALID"
+            )
+            ref = jnp.where(vsum > 0, gsum / jnp.maximum(vsum, 1.0), 0.0) / f
+            got, got_v = losses.downsample_gt(gt, valid, level, scale_values=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-6, rtol=1e-5)
+            np.testing.assert_array_equal(
+                np.asarray(got_v), np.asarray((vsum[..., 0] > 0).astype(jnp.float32))
+            )
+
+    def test_gt_pyramid_matches_per_level(self):
+        rng = np.random.RandomState(1)
+        gt = jnp.asarray(rng.randn(1, 64, 64, 1), jnp.float32)
+        valid = jnp.asarray((rng.rand(1, 64, 64) > 0.5), jnp.float32)
+        pyr = losses.gt_pyramid(gt, valid, (2, 3, 6), scale_values=True)
+        for level in (2, 3, 6):
+            a, va = pyr[level]
+            b, vb = losses.downsample_gt(gt, valid, level, scale_values=True)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+    def test_ce_one_hot_equals_gather(self):
+        rng = np.random.RandomState(2)
+        logits = jnp.asarray(rng.randn(1, 8, 8, 19), jnp.float32)
+        labels = jnp.asarray(rng.randint(0, 19, (1, 8, 8)), jnp.int32)
+        labels = labels.at[0, 0, 0].set(255)
+        got = float(losses.segmentation_loss(logits, labels))
+        logp = jax.nn.log_softmax(logits, -1)
+        safe = jnp.where(labels == 255, 0, labels)
+        ll = jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
+        vm = (labels != 255).astype(jnp.float32)
+        ref = float(jnp.sum(-ll * vm) / jnp.sum(vm))
+        assert abs(got - ref) < 1e-6

@@ -109,8 +109,13 @@ def main():
             p = params
             for _ in range(n):
                 loss, grads = jax.value_and_grad(loss_fn)(p, *cur)
-                acc = (acc + loss.astype(jnp.float32)
-                       + jax.tree.leaves(grads)[0].astype(jnp.float32).mean())
+                # consume EVERY grad leaf: reducing only leaves[0] lets XLA
+                # prune all other params' weight-grad computations (measured:
+                # 'fwdbwd' read 0.6 ms/frame over fwd — an obvious DCE hole)
+                gsum = sum(
+                    g.astype(jnp.float32).mean() for g in jax.tree.leaves(grads)
+                )
+                acc = acc + loss.astype(jnp.float32) + gsum
                 cur = _perturb(imgs0, acc)
                 p = chain_params(params, acc)
             return acc
