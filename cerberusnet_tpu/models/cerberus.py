@@ -46,6 +46,7 @@ class CerberusNet(nn.Module):
     upsample_impl: str = "resize"  # resize | phase (identical math; common.py)
     batched_encoder: bool = True  # one B*3 encoder pass (identical math; won the honest r3 A/B: 10.8/10.0 vs 12.0 ms/frame — the round-2 "loses" verdict came from the DCE'd harness)
     s2d_stem: bool = False  # space-to-depth level-1 conv (identical math)
+    stem_pad_channels: int = 0  # zero-pad image channels for the stem conv (identical math; encoder.py)
     seg_head: str = "fpn"  # fpn | aspp (models/segmentation.py factory)
     dtype: jnp.dtype = jnp.float32
 
@@ -61,7 +62,8 @@ class CerberusNet(nn.Module):
           disp_pyramid:  {level: (B, H/2^l, W/2^l, 1)}
         """
         encoder = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype,
-                                 s2d_stem=self.s2d_stem)
+                                 s2d_stem=self.s2d_stem,
+                                 stem_pad_channels=self.stem_pad_channels)
         if self.batched_encoder:
             # One batched encoder application over the three frames:
             # identical math. Round 2 measured this net-negative, but that

@@ -57,6 +57,28 @@ def _s2d_stem_conv(x, kernel, bias, dtype):
     return y + bias.astype(dtype)
 
 
+def _padded_stem_conv(x, kernel, bias, dtype, pad_to: int):
+    """Stride-2 3x3 SAME conv with the input's channel axis zero-padded from
+    C to ``pad_to`` and the kernel's input axis zero-padded to match —
+    mathematically identical (padded channels multiply zero kernel taps).
+
+    Why: the raw 3-channel image forces XLA into a spatial-in-lanes layout
+    for the stem conv, and the relayout copy of each bf16[512,8,132,3]
+    input costs ~220 us on v5e (round-3 profile, 'copy' by shape — the
+    single largest copy shape, 664 us/step over the three frames). A
+    lane-aligned channel count keeps the image in its natural channel-minor
+    layout. The extra stem FLOPs are negligible (first conv only)."""
+    b_, h, w, c = x.shape
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (0, 0), (0, 0), (0, pad_to - c)))
+    kp = jnp.pad(
+        kernel.astype(dtype), ((0, 0), (0, 0), (0, pad_to - c), (0, 0))
+    )
+    y = jax.lax.conv_general_dilated(
+        xp, kp, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return y + bias.astype(dtype)
+
+
 class PyramidEncoder(nn.Module):
     channels: Sequence[int] = (16, 32, 64, 96, 128, 196)
     dtype: jnp.dtype = jnp.float32
@@ -64,6 +86,10 @@ class PyramidEncoder(nn.Module):
     # param-tree-identical; see _s2d_stem_conv). Off until the interleaved
     # end-to-end A/B on hardware ranks it (tools/ab_forward.py).
     s2d_stem: bool = False
+    # Zero-pad the image (and stem kernel) channel axis to this many
+    # channels before the level-1 conv (math-identical; _padded_stem_conv).
+    # 0 = off. Mutually exclusive with s2d_stem.
+    stem_pad_channels: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -77,6 +103,16 @@ class PyramidEncoder(nn.Module):
             if i == 0 and self.s2d_stem:
                 k, b = _ConvBlockMirror(ch, x.shape[-1], name=f"ConvBlock_{n}")()
                 x = leaky(_s2d_stem_conv(x, k, b, self.dtype))
+            elif i == 0 and self.stem_pad_channels:
+                if self.stem_pad_channels < x.shape[-1]:
+                    raise ValueError(
+                        f"stem_pad_channels={self.stem_pad_channels} < input "
+                        f"channels {x.shape[-1]}"
+                    )
+                k, b = _ConvBlockMirror(ch, x.shape[-1], name=f"ConvBlock_{n}")()
+                x = leaky(
+                    _padded_stem_conv(x, k, b, self.dtype, self.stem_pad_channels)
+                )
             else:
                 x = ConvBlock(ch, stride=2, dtype=self.dtype,
                               name=f"ConvBlock_{n}")(x)

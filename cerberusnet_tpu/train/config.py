@@ -39,6 +39,8 @@ class ModelConfig:
     upfeat_impl: str = "subpixel"  # subpixel | convt (models/common.py)
     upsample_impl: str = "resize"  # resize | phase (models/common.py)
     batched_encoder: bool = True  # one B*3 encoder pass (r3 A/B winner)
+    s2d_stem: bool = False  # space-to-depth level-1 conv (encoder.py)
+    stem_pad_channels: int = 0  # zero-pad image channels for the stem conv
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     # RAFT family (models/raft.py) — iterative all-pairs refinement:
     raft_iters: int = 12

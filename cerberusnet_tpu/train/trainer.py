@@ -87,6 +87,8 @@ def build_model(cfg: ModelConfig):
             upfeat_impl=cfg.upfeat_impl,
             upsample_impl=cfg.upsample_impl,
             batched_encoder=cfg.batched_encoder,
+            s2d_stem=cfg.s2d_stem,
+            stem_pad_channels=cfg.stem_pad_channels,
             **common,
         )
 

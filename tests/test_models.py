@@ -279,6 +279,41 @@ def test_s2d_stem_identical_outputs():
         )
 
 
+def test_stem_pad_identical_outputs():
+    """Channel-padded stem conv (encoder.stem_pad_channels): identical param
+    tree and bitwise-equal outputs to the plain stride-2 conv — the padded
+    channels multiply zero kernel taps, so no reassociation tolerance is
+    even needed (models/encoder.py _padded_stem_conv)."""
+    import numpy as np
+
+    from cerberusnet_tpu.models import CerberusNet
+
+    kw = dict(
+        encoder_channels=(8, 12, 16, 16, 16, 16),
+        est_channels=(16, 16, 12),
+        ctx_channels=(16, 16),
+        fpn_channels=16,
+        dtype=jnp.float32,
+    )
+    m0 = CerberusNet(**kw)
+    m1 = CerberusNet(stem_pad_channels=8, **kw)
+    imgs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (1, 64, 128, 3), jnp.float32)
+        for i in range(3)
+    )
+    v0 = jax.jit(m0.init)(jax.random.PRNGKey(0), *imgs)
+    v1 = jax.jit(m1.init)(jax.random.PRNGKey(0), *imgs)
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    o0 = jax.jit(m0.apply)(v0, *imgs)
+    o1 = jax.jit(m1.apply)(v0, *imgs)
+    for key in ("seg_logits", "flow", "disp"):
+        np.testing.assert_allclose(
+            np.asarray(o0[key]), np.asarray(o1[key]), atol=2e-4, rtol=2e-4
+        )
+
+
 class TestUpsamplePhase:
     """upsample2x_phase == jax.image.resize bilinear 2x (models/common.py):
     the phase-split formulation must be numerically identical so the

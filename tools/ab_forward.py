@@ -183,6 +183,17 @@ def variant_sets():
             "batched (base)": dict(),
             "separate": dict(batched_encoder=False),
         },
+        # stem input-layout candidates (round 3): the raw 3-channel images
+        # cost 664 us/step of relayout copies (profile 'copy' by shape);
+        # s2d folds 2x2 space into 12 channels at half res, pad keeps the
+        # stride-2 conv but zero-pads the channel axis to a lane-friendlier
+        # width. All identical math (tests/test_models.py pins equality).
+        "stem": {
+            "base": dict(),
+            "s2d": dict(s2d_stem=True),
+            "pad8": dict(stem_pad_channels=8),
+            "pad16": dict(stem_pad_channels=16),
+        },
     }
 
 
