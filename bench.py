@@ -344,7 +344,7 @@ def main():
             ),
             "raft_bf16_fps": lambda: bench_raft(batch=args.batch),
             "train_step_bf16_fps": lambda: bench_train_step(
-                batch=max(args.batch, 2)
+                batch=max(args.batch, 2), flatten=True  # trainer default (r3e A/B)
             ),
         }
         for name, fn in subbenches.items():

@@ -98,9 +98,11 @@ class OptimConfig:
     accum_steps: int = 1
     # Run the optimizer on one raveled flat vector (optax.flatten) — math-
     # identical for elementwise optimizers, collapses the per-leaf update
-    # op chains (train-step op-count/wall win on the axon backend). Changes
-    # the opt-state pytree, so only flip on fresh runs.
-    flatten: bool = False
+    # op chains. Hardware A/B (chain r3e, b2 512x1024 full train step):
+    # 44.78 vs 46.09 ms/frame — a consistent ~1.3 ms/frame win, so it is
+    # the default. Changes the opt-state pytree (flat), so set False to
+    # resume pre-round-3 checkpoints.
+    flatten: bool = True
     # Exponential moving average of params; 0.0 = off. When on, eval and
     # export use the EMA weights (the deployment-quality weights).
     ema_decay: float = 0.0
