@@ -47,6 +47,7 @@ class CerberusNet(nn.Module):
     batched_encoder: bool = True  # one B*3 encoder pass (identical math; won the honest r3 A/B: 10.8/10.0 vs 12.0 ms/frame — the round-2 "loses" verdict came from the DCE'd harness)
     s2d_stem: bool = False  # space-to-depth level-1 conv (identical math)
     stem_pad_channels: int = 0  # zero-pad image channels for the stem conv (identical math; encoder.py)
+    s2d_levels: int = 0  # run the first N encoder levels in s2d space (identical math; encoder.py)
     seg_head: str = "fpn"  # fpn | aspp (models/segmentation.py factory)
     dtype: jnp.dtype = jnp.float32
 
@@ -63,7 +64,8 @@ class CerberusNet(nn.Module):
         """
         encoder = PyramidEncoder(tuple(self.encoder_channels), dtype=self.dtype,
                                  s2d_stem=self.s2d_stem,
-                                 stem_pad_channels=self.stem_pad_channels)
+                                 stem_pad_channels=self.stem_pad_channels,
+                                 s2d_levels=self.s2d_levels)
         if self.batched_encoder:
             # One batched encoder application over the three frames:
             # identical math. Round 2 measured this net-negative, but that

@@ -57,6 +57,80 @@ def _s2d_stem_conv(x, kernel, bias, dtype):
     return y + bias.astype(dtype)
 
 
+def _space_to_depth(x):
+    """[B, H, W, C] -> [B, H/2, W/2, 4C], phase-major channel order
+    (dy, dx, C) — the same rearrangement _s2d_stem_conv uses."""
+    b, h, w, c = x.shape
+    return (
+        x.reshape(b, h // 2, 2, w // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, h // 2, w // 2, 4 * c)
+    )
+
+
+def _depth_to_space(z, c):
+    """Inverse of _space_to_depth."""
+    b, h2, w2, _ = z.shape
+    z = z.reshape(b, h2, w2, 2, 2, c)
+    return z.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h2, 2 * w2, c)
+
+
+def _phase_placement(stride: int):
+    """0/1 placement tensor P[o, d, D, t] for one spatial axis: original
+    kernel tap t of output phase D lands on s2d-space tap offset o reading
+    input phase d.
+
+    stride 1 (full-res 3x3 SAME conv in s2d space): output row 2i+D reads
+    input row 2i+D+t-1 = s2d cell i + floor((D+t-1)/2), phase (D+t-1) mod 2
+    -> a 3-tap (o in 0..2, SAME pad (1,1)) s2d conv.
+
+    stride 2 (level-entry conv, XLA SAME pad (0,1) on even extents: output
+    p reads rows 2p..2p+2): output row 2i+D reads input row 4i+2D+t = s2d
+    cell 2i + D + t//2, phase t mod 2 -> a 3-tap stride-2 s2d conv with
+    pad (0, 1)."""
+    import numpy as np
+
+    p = np.zeros((3, 2, 2, 3), np.float32)
+    for D in (0, 1):
+        for t in range(3):
+            if stride == 1:
+                o, d = divmod(D + t - 1, 2)
+                o += 1
+            else:
+                o, d = D + t // 2, t % 2
+            p[o, d, D, t] = 1.0
+    return p
+
+
+def _k_to_s2d(kernel, stride: int):
+    """Rearrange a [3,3,C,F] kernel into the zero-structured [3,3,4C,4F]
+    kernel computing the same conv entirely in space-to-depth space.
+    75% zeros (4x FLOPs) — but every conv then runs with 4x the channels,
+    which keeps XLA in one channel-minor layout instead of bouncing the
+    small-C tensors through spatial-in-lanes relayout copies (the r3
+    profiles: 4.65 ms/step fwd, 23.3 ms/step train, mostly at C=16/32)."""
+    py = jnp.asarray(_phase_placement(stride), kernel.dtype)
+    # K'[oy,dy,Dy, ox,dx,Dx, c,f] = sum_{ty,tx} P[oy,dy,Dy,ty] P[ox,dx,Dx,tx] K[ty,tx,c,f]
+    kp = jnp.einsum("yabt,xcdu,tuef->yaxcebdf", py, py, kernel)
+    # -> [oy, ox, (dy, dx, c), (Dy, Dx, f)]
+    kh, kw, c, f = kernel.shape
+    kp = kp.transpose(0, 2, 1, 3, 4, 5, 6, 7)  # oy,ox,dy,dx,c,Dy,Dx,f
+    return kp.reshape(3, 3, 4 * c, 4 * f)
+
+
+def _s2d_conv(z, kernel, bias, dtype, stride: int):
+    """Conv in s2d space: z = s2d(x), returns s2d(conv(x, kernel)) with the
+    ORIGINAL [3,3,C,F] kernel/bias (stride 1 SAME, or the stride-2 level
+    entry). Math-identical to the full-res conv (tests/test_models.py)."""
+    kp = _k_to_s2d(kernel.astype(dtype), stride)
+    pad = ((1, 1), (1, 1)) if stride == 1 else ((0, 1), (0, 1))
+    y = jax.lax.conv_general_dilated(
+        z.astype(dtype), kp, (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + jnp.tile(bias.astype(dtype), 4)
+
+
 def _padded_stem_conv(x, kernel, bias, dtype, pad_to: int):
     """Stride-2 3x3 SAME conv with the input's channel axis zero-padded from
     C to ``pad_to`` and the kernel's input axis zero-padded to match —
@@ -90,6 +164,12 @@ class PyramidEncoder(nn.Module):
     # channels before the level-1 conv (math-identical; _padded_stem_conv).
     # 0 = off. Mutually exclusive with s2d_stem.
     stem_pad_channels: int = 0
+    # Run the first N levels ENTIRELY in space-to-depth space (all three
+    # convs per level at 4x channels / half resolution, zero-structured
+    # kernels — math- and param-tree-identical; _s2d_conv). Targets the
+    # small-channel layout-copy thrash the r3 profiles located at levels
+    # 1-2. 0 = off. Supersedes s2d_stem / stem_pad_channels when > 0.
+    s2d_levels: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -99,7 +179,29 @@ class PyramidEncoder(nn.Module):
         # (whose mirror would otherwise desync flax auto-numbering) yields
         # an identical param tree
         n = 0
+        if self.s2d_levels:
+            # z holds s2d(level input); after each level's three convs it
+            # holds s2d(level output), which is EXACTLY the next level's
+            # entry-conv input — levels chain with no rearrangement between
+            # them (one s2d of the image in, one d2s per emitted feature).
+            z = _space_to_depth(x)
+            cin = x.shape[-1]
+            for i in range(min(self.s2d_levels, len(self.channels))):
+                ch = self.channels[i]
+                for j in range(3):
+                    k, b = _ConvBlockMirror(
+                        ch, cin if j == 0 else ch, name=f"ConvBlock_{n}"
+                    )()
+                    z = leaky(
+                        _s2d_conv(z, k, b, self.dtype, stride=2 if j == 0 else 1)
+                    )
+                    n += 1
+                feats.append(_depth_to_space(z, ch))
+                cin = ch
+            x = feats[-1]
         for i, ch in enumerate(self.channels):
+            if i < len(feats):
+                continue
             if i == 0 and self.s2d_stem:
                 k, b = _ConvBlockMirror(ch, x.shape[-1], name=f"ConvBlock_{n}")()
                 x = leaky(_s2d_stem_conv(x, k, b, self.dtype))

@@ -41,6 +41,7 @@ class ModelConfig:
     batched_encoder: bool = True  # one B*3 encoder pass (r3 A/B winner)
     s2d_stem: bool = False  # space-to-depth level-1 conv (encoder.py)
     stem_pad_channels: int = 0  # zero-pad image channels for the stem conv
+    s2d_levels: int = 0  # first N encoder levels fully in s2d space
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     # RAFT family (models/raft.py) — iterative all-pairs refinement:
     raft_iters: int = 12

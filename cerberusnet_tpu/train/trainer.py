@@ -89,6 +89,7 @@ def build_model(cfg: ModelConfig):
             batched_encoder=cfg.batched_encoder,
             s2d_stem=cfg.s2d_stem,
             stem_pad_channels=cfg.stem_pad_channels,
+            s2d_levels=cfg.s2d_levels,
             **common,
         )
 

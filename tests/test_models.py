@@ -279,6 +279,83 @@ def test_s2d_stem_identical_outputs():
         )
 
 
+class TestS2DConv:
+    """s2d-space conv helpers (encoder.py): exact same math as the full-res
+    conv for both the stride-1 SAME conv and the stride-2 level entry."""
+
+    def test_stride1_matches_full_res(self):
+        import numpy as np
+
+        from cerberusnet_tpu.models.encoder import (
+            _depth_to_space, _s2d_conv, _space_to_depth,
+        )
+
+        key = jax.random.PRNGKey(3)
+        x = jax.random.normal(key, (2, 8, 12, 5), jnp.float32)
+        k = jax.random.normal(jax.random.PRNGKey(4), (3, 3, 5, 7), jnp.float32)
+        b = jax.random.normal(jax.random.PRNGKey(5), (7,), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + b
+        got = _depth_to_space(
+            _s2d_conv(_space_to_depth(x), k, b, jnp.float32, stride=1), 7
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_stride2_matches_full_res(self):
+        import numpy as np
+
+        from cerberusnet_tpu.models.encoder import (
+            _depth_to_space, _s2d_conv, _space_to_depth,
+        )
+
+        x = jax.random.normal(jax.random.PRNGKey(6), (1, 16, 8, 3), jnp.float32)
+        k = jax.random.normal(jax.random.PRNGKey(7), (3, 3, 3, 6), jnp.float32)
+        b = jax.random.normal(jax.random.PRNGKey(8), (6,), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + b
+        got = _depth_to_space(
+            _s2d_conv(_space_to_depth(x), k, b, jnp.float32, stride=2), 6
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_s2d_levels_identical_outputs():
+    """Whole-level s2d encoder (encoder.s2d_levels): identical param tree
+    and equal outputs to the plain encoder (models/encoder.py _s2d_conv)."""
+    import numpy as np
+
+    from cerberusnet_tpu.models import CerberusNet
+
+    kw = dict(
+        encoder_channels=(8, 12, 16, 16, 16, 16),
+        est_channels=(16, 16, 12),
+        ctx_channels=(16, 16),
+        fpn_channels=16,
+        dtype=jnp.float32,
+    )
+    m0 = CerberusNet(**kw)
+    m1 = CerberusNet(s2d_levels=2, **kw)
+    imgs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (1, 64, 128, 3), jnp.float32)
+        for i in range(3)
+    )
+    v0 = jax.jit(m0.init)(jax.random.PRNGKey(0), *imgs)
+    v1 = jax.jit(m1.init)(jax.random.PRNGKey(0), *imgs)
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    o0 = jax.jit(m0.apply)(v0, *imgs)
+    o1 = jax.jit(m1.apply)(v0, *imgs)
+    for key in ("seg_logits", "flow", "disp"):
+        np.testing.assert_allclose(
+            np.asarray(o0[key]), np.asarray(o1[key]), atol=2e-4, rtol=2e-4
+        )
+
+
 def test_stem_pad_identical_outputs():
     """Channel-padded stem conv (encoder.stem_pad_channels): identical param
     tree and bitwise-equal outputs to the plain stride-2 conv — the padded

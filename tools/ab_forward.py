@@ -194,6 +194,16 @@ def variant_sets():
             "pad8": dict(stem_pad_channels=8),
             "pad16": dict(stem_pad_channels=16),
         },
+        # whole-level space-to-depth (round 3): all convs of the first N
+        # encoder levels at 4x channels / half resolution (zero-structured
+        # kernels, math-identical) — the systemic candidate against the
+        # level-1/2 layout-copy thrash (encoder.py _s2d_conv).
+        "s2dlv": {
+            "base": dict(),
+            "s2d_levels=1": dict(s2d_levels=1),
+            "s2d_levels=2": dict(s2d_levels=2),
+            "s2d_levels=3": dict(s2d_levels=3),
+        },
     }
 
 
