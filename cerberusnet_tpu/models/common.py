@@ -238,6 +238,86 @@ def conv_transpose_subpixel(comps, kernel, bias, dtype):
     return acc.reshape(b, 2 * h, 2 * w, cout)
 
 
+def _conv_s2_dx_kernel(k):
+    """[3,3,Cin,Cout] -> (2,2,Cout,4*Cin) phase kernel computing the
+    stride-2 SAME input gradient as ONE stride-1 conv (see conv_s2_phase).
+
+    Per spatial dim (XLA SAME pad for k=3/stride 2 on even extents is
+    (0,1): output p reads input rows 2p..2p+2), the input-gradient phases
+    are  dx[2q] = g[q]*K[0] + g[q-1]*K[2]  and  dx[2q+1] = g[q]*K[1]  —
+    a 2-tap window over g padded (1,0). Window position w in {0,1} reads
+    g row q-1+w, so tap selector S[phase][w] = ((K2, K0), (zero, K1))."""
+    _, _, cin, cout = k.shape
+    sel = ((2, 0), (None, 1))
+    zero = jnp.zeros((cout, cin), k.dtype)
+    blocks = []
+    for a in (0, 1):
+        for b in (0, 1):
+            rows = []
+            for wy in (0, 1):
+                cols = []
+                for wx in (0, 1):
+                    ty, tx = sel[a][wy], sel[b][wx]
+                    cols.append(
+                        zero if ty is None or tx is None
+                        else k[ty, tx].T  # (Cout, Cin)
+                    )
+                rows.append(jnp.stack(cols, 0))
+            blocks.append(jnp.stack(rows, 0))  # (2,2,Cout,Cin), phase (a,b)
+    return jnp.concatenate(blocks, axis=-1)  # phase-major (a,b,cin)
+
+
+def _conv_s2_dx(g, k):
+    """Input gradient of the stride-2 SAME 3x3 conv, computed as one dense
+    stride-1 conv over the output cotangent + depth-to-space — the subpixel
+    decomposition of the lhs-dilated convolution XLA's default transpose
+    rule emits (the relayout-heavy pattern the train profile localizes to
+    the encoder level-entry convs; same trick as conv_transpose_subpixel)."""
+    cin = k.shape[2]
+    k4 = _conv_s2_dx_kernel(k)
+    gp = jnp.pad(g, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        gp, k4, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    b, h2, w2, _ = y.shape
+    y = y.reshape(b, h2, w2, 2, 2, cin).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, 2 * h2, 2 * w2, cin)
+
+
+def _conv_s2(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+@jax.custom_vjp
+def conv_s2_phase(x, k):
+    """Stride-2 3x3 SAME conv (NHWC/HWIO), forward-identical to
+    lax.conv_general_dilated, whose custom backward computes the INPUT
+    gradient via the phase decomposition above instead of XLA's lhs-dilated
+    convolution. Weight gradient keeps XLA's native path (a window-dilated
+    conv — not the pattern this vjp replaces). Requires even H/W (the
+    SAME padding decomposition assumes pad (0,1) per dim); gradients are
+    pinned against jax.vjp of the plain conv in tests/test_models.py."""
+    if x.shape[1] % 2 or x.shape[2] % 2:
+        raise ValueError(f"conv_s2_phase needs even H/W, got {x.shape}")
+    return _conv_s2(x, k)
+
+
+def _conv_s2_phase_fwd(x, k):
+    return conv_s2_phase(x, k), (x, k)
+
+
+def _conv_s2_phase_bwd(res, g):
+    x, k = res
+    _, pull = jax.vjp(lambda kk: _conv_s2(x, kk), k)
+    (dk,) = pull(g)
+    return _conv_s2_dx(g, k), dk
+
+
+conv_s2_phase.defvjp(_conv_s2_phase_fwd, _conv_s2_phase_bwd)
+
+
 def conv_transpose_over_components(comps, kernel, bias, strides, dtype):
     """``conv_transpose(concat(comps, -1), kernel) + bias`` distributed over
     the components (same linearity as conv_over_components). Mirrors flax

@@ -51,6 +51,7 @@ class DisparityDecoder(nn.Module):
     distribute_outputs: bool = True  # skip estimator output-stack concat
     upfeat_impl: str = "subpixel"  # subpixel | convt (identical math; r3 A/B winner)
     upsample_impl: str = "resize"  # resize | phase (identical math; common.py)
+    est_input: str = "concat"  # concat | split (identical math; concat won the r3 race — see flow.py)
     dtype: jnp.dtype = jnp.float32
 
     def level_max_disp(self, level: int) -> int:
@@ -80,7 +81,10 @@ class DisparityDecoder(nn.Module):
             # explicit child names keep fused/unfused param trees identical
             if self.fused:
                 # cost volume consumed in place (see flow.py note)
-                comps = [cost, jnp.concatenate([f1] + inputs, axis=-1)]
+                if self.est_input == "concat":
+                    comps = [jnp.concatenate([cost, f1] + inputs, axis=-1)]
+                else:
+                    comps = [cost, jnp.concatenate([f1] + inputs, axis=-1)]
                 total_ch = sum(c.shape[-1] for c in comps)
                 pred_kb = _ConvMirror(
                     1, total_ch + sum(self.est_channels), name=f"Conv_{i}"

@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from cerberusnet_tpu.models.common import ConvBlock, _ConvBlockMirror, leaky
+from cerberusnet_tpu.models.common import (
+    ConvBlock,
+    _ConvBlockMirror,
+    conv_s2_phase,
+    leaky,
+)
 
 
 def _s2d_stem_conv(x, kernel, bias, dtype):
@@ -170,6 +175,12 @@ class PyramidEncoder(nn.Module):
     # small-channel layout-copy thrash the r3 profiles located at levels
     # 1-2. 0 = off. Supersedes s2d_stem / stem_pad_channels when > 0.
     s2d_levels: int = 0
+    # "phase": compute the stride-2 level-entry convs via conv_s2_phase —
+    # forward-identical, but the input gradient lowers as one dense
+    # stride-1 conv + depth-to-space instead of XLA's lhs-dilated
+    # convolution (the relayout-heavy backward pattern the r3 train profile
+    # flags). Train-step A/B knob; falls back to nn.Conv on odd extents.
+    entry_grad: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -214,6 +225,16 @@ class PyramidEncoder(nn.Module):
                 k, b = _ConvBlockMirror(ch, x.shape[-1], name=f"ConvBlock_{n}")()
                 x = leaky(
                     _padded_stem_conv(x, k, b, self.dtype, self.stem_pad_channels)
+                )
+            elif self.entry_grad == "phase" and not (
+                x.shape[1] % 2 or x.shape[2] % 2
+            ):
+                k, b = _ConvBlockMirror(ch, x.shape[-1], name=f"ConvBlock_{n}")()
+                x = leaky(
+                    conv_s2_phase(
+                        x.astype(self.dtype), k.astype(self.dtype)
+                    )
+                    + b.astype(self.dtype)
                 )
             else:
                 x = ConvBlock(ch, stride=2, dtype=self.dtype,

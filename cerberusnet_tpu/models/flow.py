@@ -56,6 +56,14 @@ class FlowDecoder(nn.Module):
     distribute_outputs: bool = True  # skip estimator output-stack concat
     upfeat_impl: str = "subpixel"  # subpixel | convt (identical math; r3 A/B winner)
     upsample_impl: str = "resize"  # resize | phase (identical math; common.py)
+    # estimator input assembly (identical math): "split" consumes the cost
+    # volume as its own component (skips the input concat; round-2 choice),
+    # "concat" feeds one concatenated tensor. concat WON the honest r3
+    # interleaved A/B on the joint model (10.25 vs 10.68 ms/frame median,
+    # chain r3i): the explicit concatenate is cheaper than the layout
+    # copies the odd-width (81/25-ch) cost volume forces around the
+    # estimator convs. Default = the measured winner.
+    est_input: str = "concat"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -79,12 +87,16 @@ class FlowDecoder(nn.Module):
             )
             # explicit child names keep fused/unfused param trees identical
             if self.fused:
-                # the 81-ch cost volume stays a separate component — the
-                # fused estimator consumes it in place, skipping one full
-                # input-concat copy per level; concat_stack=False keeps the
-                # OUTPUT stack as components too (the only consumers —
-                # context net / up-feat ConvTranspose — distribute over them)
-                comps = [cost, jnp.concatenate([f1] + inputs, axis=-1)]
+                # est_input="split": the 81-ch cost volume stays a separate
+                # component — the fused estimator consumes it in place,
+                # skipping one full input-concat copy per level;
+                # concat_stack=False keeps the OUTPUT stack as components
+                # too (the only consumers — context net / up-feat
+                # ConvTranspose — distribute over them)
+                if self.est_input == "concat":
+                    comps = [jnp.concatenate([cost, f1] + inputs, axis=-1)]
+                else:
+                    comps = [cost, jnp.concatenate([f1] + inputs, axis=-1)]
                 total_ch = sum(c.shape[-1] for c in comps)
                 pred_kb = _ConvMirror(
                     2, total_ch + sum(self.est_channels), name=f"Conv_{i}"

@@ -42,6 +42,8 @@ class ModelConfig:
     s2d_stem: bool = False  # space-to-depth level-1 conv (encoder.py)
     stem_pad_channels: int = 0  # zero-pad image channels for the stem conv
     s2d_levels: int = 0  # first N encoder levels fully in s2d space
+    entry_grad: str = "auto"  # auto | phase stride-2 input-grad (common.py)
+    est_input: str = "concat"  # concat | split estimator feed (models/flow.py; concat won the r3 race)
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     # RAFT family (models/raft.py) — iterative all-pairs refinement:
     raft_iters: int = 12

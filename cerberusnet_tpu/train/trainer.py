@@ -90,6 +90,8 @@ def build_model(cfg: ModelConfig):
             s2d_stem=cfg.s2d_stem,
             stem_pad_channels=cfg.stem_pad_channels,
             s2d_levels=cfg.s2d_levels,
+            entry_grad=cfg.entry_grad,
+            est_input=cfg.est_input,
             **common,
         )
 
@@ -290,11 +292,24 @@ class Trainer:
         if config.train.interpret_kernels and config.model.corr_impl is None:
             # force the pure (interpretable, bounds-exact) op path
             config.model.corr_impl = "pure"
-        if config.train.qat and getattr(config.model, "fused", False):
+        if config.train.qat and (
+            getattr(config.model, "fused", False)
+            or config.model.s2d_levels
+            or config.model.s2d_stem
+            or config.model.stem_pad_channels
+            or config.model.entry_grad == "phase"
+        ):
             # QAT fake-quants convs via flax interception, which cannot see
-            # the fused estimator's raw-lax convs; the fused/unfused param
-            # trees are identical (tests/test_fused_estimator.py).
+            # raw-lax convs: the fused estimator AND the s2d/padded-stem
+            # encoder forms (encoder.py) compute through lax directly. All
+            # of these are param-tree-identical to the nn.Conv layout
+            # (tests/test_fused_estimator.py, tests/test_models.py), so the
+            # QAT graph simply rebuilds in the interceptable form.
             config.model.fused = False
+            config.model.s2d_levels = 0
+            config.model.s2d_stem = False
+            config.model.stem_pad_channels = 0
+            config.model.entry_grad = "auto"
         self.model, self.forward, self.example_keys = build_model(config.model)
         self.tx = build_optimizer(config.optim)
         self.mesh = make_mesh(
@@ -981,14 +996,30 @@ class Trainer:
             )
 
             # PTQ quantizes convs by intercepting nn.Conv calls; the fused
-            # estimator formulation computes its convs through raw lax ops
-            # and would be skipped. The fused/unfused param trees are
-            # IDENTICAL (tests/test_fused_estimator.py), so quantized
-            # export simply rebuilds the graph unfused — every conv then
-            # goes through nn.Conv and quantizes.
-            if getattr(self.config.model, "fused", False):
+            # estimator formulation AND the s2d/padded-stem encoder forms
+            # compute their convs through raw lax ops and would be skipped.
+            # The param trees are IDENTICAL either way
+            # (tests/test_fused_estimator.py, tests/test_models.py), so
+            # quantized export simply rebuilds the graph in the
+            # interceptable form — every conv then goes through nn.Conv
+            # and quantizes.
+            m = self.config.model
+            if (
+                getattr(m, "fused", False)
+                or m.s2d_levels
+                or m.s2d_stem
+                or m.stem_pad_channels
+                or m.entry_grad == "phase"
+            ):
                 q_model, forward, _ = build_model(
-                    _dc.replace(self.config.model, fused=False)
+                    _dc.replace(
+                        self.config.model,
+                        fused=False,
+                        s2d_levels=0,
+                        s2d_stem=False,
+                        stem_pad_channels=0,
+                        entry_grad="auto",
+                    )
                 )
             else:
                 q_model = self.model

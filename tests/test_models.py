@@ -419,3 +419,145 @@ class TestUpsamplePhase:
             np.testing.assert_allclose(
                 np.asarray(o0[key]), np.asarray(o1[key]), atol=2e-4, rtol=2e-4
             )
+
+
+def test_stacked_input_identical_outputs():
+    """stacked_input=True (producer-stacked (3B,H,W,3) tensor) vs the
+    default 3-argument call: identical param tree and bit-equal outputs —
+    the only difference is WHERE the [left;right;temporal] stack is
+    assembled (models/cerberus.py)."""
+    import numpy as np
+
+    from cerberusnet_tpu.models import CerberusNet
+
+    kw = dict(
+        encoder_channels=(8, 12, 16, 16, 16, 16),
+        est_channels=(16, 16, 12),
+        ctx_channels=(16, 16),
+        fpn_channels=16,
+        dtype=jnp.float32,
+    )
+    m0 = CerberusNet(**kw)
+    m1 = CerberusNet(stacked_input=True, **kw)
+    imgs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (2, 64, 128, 3), jnp.float32)
+        for i in range(3)
+    )
+    stacked = jnp.concatenate(imgs, axis=0)
+    v0 = jax.jit(m0.init)(jax.random.PRNGKey(0), *imgs)
+    v1 = jax.jit(m1.init)(jax.random.PRNGKey(0), stacked)
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    o0 = jax.jit(m0.apply)(v0, *imgs)
+    o1 = jax.jit(m1.apply)(v0, stacked)
+    for key in ("seg_logits", "flow", "disp"):
+        np.testing.assert_allclose(
+            np.asarray(o0[key]), np.asarray(o1[key]), atol=2e-5, rtol=2e-5
+        )
+
+
+def test_conv_s2_phase_matches_autodiff():
+    """conv_s2_phase: forward bit-identical to the plain stride-2 SAME
+    conv; custom dx (phase-decomposed) and dk match jax.vjp of the plain
+    conv (models/common.py)."""
+    import numpy as np
+
+    from cerberusnet_tpu.models.common import _conv_s2, conv_s2_phase
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 24, 5))
+    k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 5, 7)) * 0.1
+    assert np.array_equal(np.asarray(_conv_s2(x, k)),
+                          np.asarray(conv_s2_phase(x, k)))
+    g = jax.random.normal(jax.random.PRNGKey(2), _conv_s2(x, k).shape)
+    dx0, dk0 = jax.vjp(_conv_s2, x, k)[1](g)
+    dx1, dk1 = jax.vjp(conv_s2_phase, x, k)[1](g)
+    np.testing.assert_allclose(np.asarray(dx0), np.asarray(dx1),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk0), np.asarray(dk1),
+                               atol=1e-5, rtol=1e-5)
+    # odd extents are rejected (the SAME decomposition assumes pad (0,1))
+    with pytest.raises(ValueError):
+        conv_s2_phase(x[:, :15], k)
+
+
+def test_entry_grad_phase_identical_model_and_grads():
+    """entry_grad="phase" vs default: identical param tree, bit-equal
+    forward (the conv op is the same — only the vjp rule differs), and
+    parameter gradients equal to fp tolerance (models/encoder.py)."""
+    import numpy as np
+
+    from cerberusnet_tpu.models import CerberusNet
+
+    kw = dict(
+        encoder_channels=(8, 12, 16, 16, 16, 16),
+        est_channels=(16, 16, 12),
+        ctx_channels=(16, 16),
+        fpn_channels=16,
+        dtype=jnp.float32,
+    )
+    m0 = CerberusNet(**kw)
+    m1 = CerberusNet(entry_grad="phase", **kw)
+    imgs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (1, 64, 128, 3), jnp.float32)
+        for i in range(3)
+    )
+    v0 = jax.jit(m0.init)(jax.random.PRNGKey(0), *imgs)
+    v1 = jax.jit(m1.init)(jax.random.PRNGKey(0), *imgs)
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+    o0 = jax.jit(m0.apply)(v0, *imgs)
+    o1 = jax.jit(m1.apply)(v0, *imgs)
+    for key in ("seg_logits", "flow", "disp"):
+        assert np.array_equal(np.asarray(o0[key]), np.asarray(o1[key]))
+
+    def loss(m):
+        def f(v):
+            out = m.apply(v, *imgs)
+            return (
+                jnp.sum(out["flow"] ** 2)
+                + jnp.sum(out["disp"] ** 2)
+                + jnp.sum(out["seg_logits"] ** 2)
+            )
+        return f
+
+    g0 = jax.jit(jax.grad(loss(m0)))(v0)
+    g1 = jax.jit(jax.grad(loss(m1)))(v0)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3
+        )
+
+
+def test_est_input_concat_identical_outputs():
+    """est_input="concat" (one concatenated estimator feed) vs "split"
+    (cost volume consumed in place): identical param tree, equal outputs
+    to fp-reassociation tolerance — conv over a concat equals the sum of
+    per-component convs (models/flow.py, models/disparity.py)."""
+    import numpy as np
+
+    from cerberusnet_tpu.models import CerberusNet
+
+    kw = dict(
+        encoder_channels=(8, 12, 16, 16, 16, 16),
+        est_channels=(16, 16, 12),
+        ctx_channels=(16, 16),
+        fpn_channels=16,
+        dtype=jnp.float32,
+    )
+    m0 = CerberusNet(est_input="split", **kw)
+    m1 = CerberusNet(est_input="concat", **kw)
+    imgs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (1, 64, 128, 3), jnp.float32)
+        for i in range(3)
+    )
+    v0 = jax.jit(m0.init)(jax.random.PRNGKey(0), *imgs)
+    v1 = jax.jit(m1.init)(jax.random.PRNGKey(0), *imgs)
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    o0 = jax.jit(m0.apply)(v0, *imgs)
+    o1 = jax.jit(m1.apply)(v0, *imgs)
+    for key in ("seg_logits", "flow", "disp"):
+        np.testing.assert_allclose(
+            np.asarray(o0[key]), np.asarray(o1[key]), atol=2e-4, rtol=2e-4
+        )

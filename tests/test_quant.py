@@ -227,3 +227,70 @@ class TestCerberusQuant:
             rtol=1e-5,
             atol=1e-5,
         )
+
+
+class TestRawLaxKnobRebuild:
+    """Knobs that route convs through raw lax ops (fused estimator, s2d /
+    padded-stem encoder) are invisible to flax interception; the QAT/PTQ
+    paths must rebuild in the interceptable form (trainer.py)."""
+
+    def test_s2d_levels_hides_encoder_convs_from_calibration(self):
+        kw = dict(
+            encoder_channels=(8, 12, 16, 16, 16, 16),
+            est_channels=(16, 16, 12),
+            ctx_channels=(16, 16),
+            fpn_channels=16,
+            corr_impl="pure",
+            fused=False,
+        )
+        rng = np.random.RandomState(0)
+        imgs = tuple(
+            jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32) for _ in range(3)
+        )
+        m_plain = CerberusNet(**kw)
+        m_s2d = CerberusNet(s2d_levels=2, **kw)
+        v = jax.jit(m_plain.init)(jax.random.PRNGKey(0), *imgs)
+        s_plain = calibrate(m_plain, v, [imgs])
+        s_s2d = calibrate(m_s2d, v, [imgs])  # same param tree (test_models)
+        # the first two levels' 6 convs are raw-lax under s2d_levels=2
+        assert len(s_plain) - len(s_s2d) == 6
+        assert set(s_s2d) <= set(s_plain)
+
+    def test_qat_trainer_resets_raw_lax_knobs(self, tmp_path):
+        from cerberusnet_tpu.train.config import (
+            DataConfig,
+            ExperimentConfig,
+            LossConfig,
+            ModelConfig,
+            OptimConfig,
+            TrainConfig,
+        )
+        from cerberusnet_tpu.train.trainer import Trainer
+
+        cfg = ExperimentConfig(
+            name="qat-knob-reset",
+            model=ModelConfig(
+                variant="cerberus",
+                encoder_channels=(8, 12, 16, 16, 16, 16),
+                est_channels=(16, 16, 12),
+                ctx_channels=(16, 16),
+                fpn_channels=16,
+                corr_impl="pure",
+                s2d_levels=2,
+                fused=True,
+            ),
+            data=DataConfig(
+                dataset="synthetic", hw=(64, 64), batch_size=1,
+                num_workers=1, synthetic_length=1, shuffle=False,
+            ),
+            optim=OptimConfig(lr=1e-3, warmup_steps=0, total_steps=10,
+                              schedule="constant"),
+            loss=LossConfig(),
+            train=TrainConfig(epochs=1, qat=True, log_every=1000,
+                              num_data_devices=1),
+        )
+        tr = Trainer(cfg)
+        assert tr.config.model.fused is False
+        assert tr.config.model.s2d_levels == 0
+        assert tr.config.model.s2d_stem is False
+        assert tr.config.model.stem_pad_channels == 0
