@@ -224,6 +224,49 @@ def bench_train_step(batch=2, hw=(512, 1024), iters=5, flatten=False,
 
 
 _BENCH_SENTINEL = "/tmp/cerberus_bench_request"
+_CHAIN_BUSY = "/tmp/cerberus_chain_busy"
+
+
+def _wait_for_chain_step(budget_s: float = 2400) -> None:
+    """Block while a tools/chain_run.py step is mid-flight.
+
+    The bench sentinel only makes chains yield BETWEEN steps; a step
+    already running when the benchmark starts would otherwise share the
+    chip with the timing loop and corrupt both measurements (TPU
+    experiments must never overlap — CLAUDE.md rule 9). chain_run marks
+    each step with a pid-stamped busy file; wait for it to clear (or for
+    its pid to die) before benchmarking."""
+    import time as _time
+
+    own_chain = int(os.environ.get("CERBERUS_CHAIN_PID", 0) or 0)
+    deadline = _time.time() + budget_s
+    warned = False
+    while os.path.exists(_CHAIN_BUSY) and _time.time() < deadline:
+        try:
+            with open(_CHAIN_BUSY) as f:
+                pid = int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            pid = 0
+        if pid and pid == own_chain:
+            return  # this benchmark IS the running chain step
+        if pid:
+            try:
+                os.kill(pid, 0)
+            except OSError:
+                try:  # stale: the chain died without cleaning up
+                    os.remove(_CHAIN_BUSY)
+                except OSError:
+                    pass
+                return
+        if not warned:
+            print("[bench] chain step in flight; waiting for it to finish",
+                  file=sys.stderr)
+            warned = True
+        _time.sleep(30)
+    if os.path.exists(_CHAIN_BUSY):
+        print(f"[bench] chain still busy after {budget_s:.0f}s — "
+              "benchmarking anyway (results may be contaminated)",
+              file=sys.stderr)
 
 
 def _post_bench_sentinel() -> None:
@@ -303,6 +346,7 @@ def main():
     args = ap.parse_args()
 
     _post_bench_sentinel()
+    _wait_for_chain_step()
     _wait_for_device(args.wait_device)
     details = {"device": str(jax.devices()[0]), "hw": [512, 1024]}
 

@@ -194,6 +194,41 @@ def variant_sets():
             "pad8": dict(stem_pad_channels=8),
             "pad16": dict(stem_pad_channels=16),
         },
+        # estimator input assembly (round 3): "split" (base) consumes the
+        # cost volume as its own component; "concat" feeds one explicit
+        # concatenate — the r3 forward profile shows 1.31 ms/step of copies
+        # around the estimator convs, and an explicit concatenate may be
+        # cheaper than the layout copies of the odd-width (81/25-ch) cost
+        # volumes. Identical math either way.
+        # RACED 2026-08-20 (chain r3i): concat WON, 10.25 vs 10.68 ms/frame
+        # median — promoted to default. Variants updated to stay meaningful
+        # post-promotion (base is now concat).
+        "estin": {
+            "concat (base)": dict(),
+            "split": dict(est_input="split"),
+        },
+        # producer-stacked input (round 3): the device-side 3-way input
+        # concat + relayouts cost ~1.06 ms/frame in the r3 copy profile;
+        # stacked_input moves the stacking to the producer (free host-side
+        # buffer arrangement) so the program starts from one (3B,H,W,3)
+        # tensor. _stack_inputs is harness metadata: the racer feeds this
+        # variant the pre-concatenated tensor (perturbed per iteration like
+        # every other input). Identical math + param tree.
+        "stackin": {
+            "base": dict(),
+            "stacked": dict(stacked_input=True, _stack_inputs=True),
+        },
+        # stride-2 encoder input-gradient (round 3, TRAIN-mode race — the
+        # forward is op-identical): "phase" computes the level-entry convs'
+        # dx as one dense stride-1 conv + depth-to-space instead of XLA's
+        # lhs-dilated convolution (common.py conv_s2_phase; the r3 train
+        # profile flags the backward's relayout copies, and the same
+        # decomposition won the forward upfeat race). Identical math,
+        # gradient equality pinned in tests/test_models.py.
+        "gradimpl": {
+            "base": dict(),
+            "phase": dict(entry_grad="phase"),
+        },
         # whole-level space-to-depth (round 3): all convs of the first N
         # encoder levels at 4x channels / half resolution (zero-structured
         # kernels, math-identical) — the systemic candidate against the
@@ -238,13 +273,18 @@ def main():
     runners = {}
     variables = None
     for name, kw in variants.items():
+        kw = dict(kw)
+        stack_in = kw.pop("_stack_inputs", False)
         model = CerberusNet(dtype=jnp.bfloat16, **kw)
         if variables is None:
+            # first variant must be un-stacked; all variants share the
+            # identical param tree so one init serves every program
             variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
+        v_imgs = (jnp.concatenate(imgs, axis=0),) if stack_in else imgs
         builder = (train_builder(model, variables, imgs) if args.train
                    else forward_builder(model, variables))
         if args.census and not args.train:
-            c1, cn = census_convs(model, variables, imgs, builder, n1)
+            c1, cn = census_convs(model, variables, v_imgs, builder, n1)
             if c1 == 0:
                 # The axon remote executable's as_text() carries no countable
                 # convolution ops — the tripwire is vacuous on this backend.
@@ -259,19 +299,19 @@ def main():
                     raise SystemExit(f"DCE detected in variant {name}")
         pair = (builder(n1), builder(n2))
         for r in pair:
-            _fetch(r(*imgs))  # compile + warmup
-        runners[name] = pair
+            _fetch(r(*v_imgs))  # compile + warmup
+        runners[name] = (pair, v_imgs)
         print(f"[compiled] {name}", flush=True)
 
     slopes = {name: [] for name in runners}
     for r in range(args.rounds):
-        for name, (run1, run2) in runners.items():
+        for name, ((run1, run2), v_imgs) in runners.items():
             # n1/n2 back-to-back so both ride the same backend conditions;
             # the slope cancels every per-call constant (drifting floor).
             t0 = time.time()
-            _fetch(run1(*imgs))
+            _fetch(run1(*v_imgs))
             t1 = time.time()
-            _fetch(run2(*imgs))
+            _fetch(run2(*v_imgs))
             t2 = time.time()
             dt = ((t2 - t1) - (t1 - t0)) / (n2 - n1) / args.batch
             slopes[name].append(dt)

@@ -35,6 +35,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEDGER = os.path.join(REPO, "runs", "queue_ledger.json")
 BENCH_SENTINEL = "/tmp/cerberus_bench_request"
+# Pid-stamped marker present while a step is mid-flight: bench.py waits for
+# it so a benchmark never overlaps an already-running step (the bench
+# sentinel alone only makes chains yield BETWEEN steps).
+CHAIN_BUSY = "/tmp/cerberus_chain_busy"
 
 
 def _load_ledger() -> dict:
@@ -117,14 +121,28 @@ def run_chain(name: str, steps: list[dict], tunnel_budget: float) -> int:
         yield_to_bench()
 
         t0 = time.time()
+        try:
+            with open(CHAIN_BUSY, "w") as f:
+                f.write(str(os.getpid()))
+        except OSError:
+            pass
+        env = dict(os.environ)
+        # children (e.g. a bench.py step) recognize their own chain's busy
+        # marker instead of waiting on it
+        env["CERBERUS_CHAIN_PID"] = str(os.getpid())
         with open(log_path, "w") as log:
             try:
                 rc = subprocess.run(
                     ["bash", "-c", cmd], stdout=log,
-                    stderr=subprocess.STDOUT, timeout=tmo, cwd=REPO,
+                    stderr=subprocess.STDOUT, timeout=tmo, cwd=REPO, env=env,
                 ).returncode
             except subprocess.TimeoutExpired:
                 rc = 124
+            finally:
+                try:
+                    os.remove(CHAIN_BUSY)
+                except OSError:
+                    pass
         rec["rc"] = rc
         rec["duration_s"] = round(time.time() - t0, 1)
         try:

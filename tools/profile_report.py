@@ -161,6 +161,8 @@ def category_report(trace_path: str, category: str, steps: int = 1,
     src_n = collections.defaultdict(int)
     shape_t = collections.defaultdict(float)
     shape_n = collections.defaultdict(int)
+    combo_t = collections.defaultdict(float)
+    combo_n = collections.defaultdict(int)
     total = 0.0
     for e in dev:
         name = e["name"]
@@ -169,11 +171,14 @@ def category_report(trace_path: str, category: str, steps: int = 1,
         if re.sub(r"[.\d]+$", "", name) != category:
             continue
         m = e.get("args", {})
-        src_t[m.get("source", "?")] += e["dur"]
-        src_n[m.get("source", "?")] += 1
+        src = m.get("source", "?")
+        src_t[src] += e["dur"]
+        src_n[src] += 1
         sh = m.get("shape_with_layout", "?")
         shape_t[sh] += e["dur"]
         shape_n[sh] += 1
+        combo_t[(src, sh)] += e["dur"]
+        combo_n[(src, sh)] += 1
         total += e["dur"]
 
     w()
@@ -184,6 +189,11 @@ def category_report(trace_path: str, category: str, steps: int = 1,
     w(f"== '{category}' by shape ==")
     for s, v in sorted(shape_t.items(), key=lambda kv: -kv[1])[:top]:
         w(f"{v / steps:10.1f} us  {shape_n[s] // steps:5d} ops  {s[:80]}")
+    w()
+    w(f"== '{category}' by (source, shape) ==")
+    for (src, sh), v in sorted(combo_t.items(), key=lambda kv: -kv[1])[:top]:
+        w(f"{v / steps:10.1f} us  {combo_n[(src, sh)] // steps:5d} ops  "
+          f"{sh[:60]:<60s} {src}")
 
 
 def main(argv=None):
