@@ -241,6 +241,7 @@ def _wait_for_chain_step(budget_s: float = 2400) -> None:
     own_chain = int(os.environ.get("CERBERUS_CHAIN_PID", 0) or 0)
     deadline = _time.time() + budget_s
     warned = False
+    zero_pid_since = None  # ADVICE r3: unreadable marker must not pin us 2400s
     while os.path.exists(_CHAIN_BUSY) and _time.time() < deadline:
         try:
             with open(_CHAIN_BUSY) as f:
@@ -250,10 +251,26 @@ def _wait_for_chain_step(budget_s: float = 2400) -> None:
         if pid and pid == own_chain:
             return  # this benchmark IS the running chain step
         if pid:
+            zero_pid_since = None
             try:
                 os.kill(pid, 0)
             except OSError:
                 try:  # stale: the chain died without cleaning up
+                    os.remove(_CHAIN_BUSY)
+                except OSError:
+                    pass
+                return
+        else:
+            # A healthy chain_run writes its pid immediately after open();
+            # a marker that stays pid-less for >60s is a corrupt leftover
+            # from a crashed chain — clear it instead of burning the budget.
+            now = _time.time()
+            if zero_pid_since is None:
+                zero_pid_since = now
+            elif now - zero_pid_since > 60:
+                print("[bench] clearing stale pid-less chain marker",
+                      file=sys.stderr)
+                try:
                     os.remove(_CHAIN_BUSY)
                 except OSError:
                     pass
@@ -348,6 +365,10 @@ def main():
     _post_bench_sentinel()
     _wait_for_chain_step()
     _wait_for_device(args.wait_device)
+    # Re-check after the (potentially long) device wait: a chain step that
+    # raced past yield_to_bench() just before our sentinel landed would have
+    # written CHAIN_BUSY in the meantime (ADVICE r3 TOCTOU).
+    _wait_for_chain_step()
     details = {"device": str(jax.devices()[0]), "hw": [512, 1024]}
 
     fps = bench_full3head(batch=args.batch, iters=args.iters)

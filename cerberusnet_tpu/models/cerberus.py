@@ -86,12 +86,20 @@ class CerberusNet(nn.Module):
                 raise ValueError(
                     "stacked_input=True takes one (3B,H,W,3) tensor")
             stacked = left
+            if stacked.shape[0] % 3 != 0:
+                raise ValueError(
+                    "stacked_input=True expects a (3B,H,W,3) tensor whose "
+                    f"leading dim is divisible by 3, got {stacked.shape}")
             b = stacked.shape[0] // 3
             feats = encoder(stacked)
             f_left = [f[:b] for f in feats]
             f_right = [f[b : 2 * b] for f in feats]
             f_temporal = [f[2 * b :] for f in feats]
             full_hw = stacked.shape[1:3]
+        elif right is None or temporal is None:
+            raise ValueError(
+                "right/temporal are required unless stacked_input=True "
+                "(pass one (3B,H,W,3) tensor in that mode)")
         elif self.batched_encoder:
             # One batched encoder application over the three frames:
             # identical math. Round 2 measured this net-negative, but that

@@ -278,6 +278,7 @@ class TestRawLaxKnobRebuild:
                 corr_impl="pure",
                 s2d_levels=2,
                 fused=True,
+                entry_grad="phase",
             ),
             data=DataConfig(
                 dataset="synthetic", hw=(64, 64), batch_size=1,
@@ -294,3 +295,6 @@ class TestRawLaxKnobRebuild:
         assert tr.config.model.s2d_levels == 0
         assert tr.config.model.s2d_stem is False
         assert tr.config.model.stem_pad_channels == 0
+        # entry_grad='phase' routes level-entry convs through raw-lax
+        # conv_s2_phase, invisible to flax quant interception (ADVICE r3)
+        assert tr.config.model.entry_grad == "auto"

@@ -248,7 +248,11 @@ def main():
     ap.add_argument("--iters", type=int, nargs=2, default=(2, 10),
                     metavar=("N1", "N2"),
                     help="two-point unroll counts; slope over N2-N1 frames")
-    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--rounds", type=int, default=5,
+                    help="interleaved measurement rounds (compile time "
+                    "dominates the tool's cost, so extra rounds are nearly "
+                    "free; >=5 required to quote a <10%% promotion — "
+                    "VERDICT r3 item 7)")
     ap.add_argument("--hw", type=int, nargs=2, default=(512, 1024))
     ap.add_argument("--set", default="stack", dest="variant_set",
                     choices=sorted(variant_sets()),
@@ -275,6 +279,14 @@ def main():
     for name, kw in variants.items():
         kw = dict(kw)
         stack_in = kw.pop("_stack_inputs", False)
+        if stack_in and args.train:
+            # train_builder feeds (left, right, temporal) and a batch dict
+            # keyed on the separate frames; the stacked variant takes one
+            # (3B,H,W,3) tensor (ADVICE r3: fail loudly, don't TypeError
+            # deep inside the unroll).
+            raise SystemExit(
+                f"variant {name!r} uses stacked inputs, which the --train "
+                "builder does not support — race it in forward mode")
         model = CerberusNet(dtype=jnp.bfloat16, **kw)
         if variables is None:
             # first variant must be un-stacked; all variants share the
@@ -318,11 +330,32 @@ def main():
             print(f"  round {r}: {name}: {dt * 1e3:.3f} ms/frame", flush=True)
 
     print(f"\ntwo-point slope (n1={n1}, n2={n2}), batch={args.batch}, {h}x{w}"
-          f"{', train' if args.train else ''}")
+          f"{', train' if args.train else ''}, rounds={args.rounds}")
+    meds = {}
     for name, ts in slopes.items():
         best, med = min(ts), statistics.median(ts)
+        meds[name] = med
+        spread = max(ts) - min(ts)
         print(f"{name:24s} best {best * 1e3:7.3f}  median {med * 1e3:7.3f} "
+              f"+-{spread * 1e3 / 2:.3f} [{min(ts) * 1e3:.3f}..{max(ts) * 1e3:.3f}] "
               f"ms/frame  ({1.0 / med:6.1f} fps med)")
+
+    # Variance gate (VERDICT r3 item 7): an effect is only promotable when
+    # it exceeds the same-arm spread the measurement itself showed. Base =
+    # the first variant in the set.
+    base_name = next(iter(slopes))
+    base_med = meds[base_name]
+    base_spread = max(slopes[base_name]) - min(slopes[base_name])
+    for name, ts in slopes.items():
+        if name == base_name:
+            continue
+        effect = base_med - meds[name]  # >0: variant faster
+        spread = max(max(ts) - min(ts), base_spread)
+        verdict = ("PROMOTABLE" if abs(effect) > spread
+                   else "within variance")
+        print(f"[gate] {name}: effect {effect * 1e3:+.3f} ms/frame "
+              f"({effect / base_med * 100:+.1f}%) vs max same-arm spread "
+              f"{spread * 1e3:.3f} ms -> {verdict}")
 
 
 if __name__ == "__main__":

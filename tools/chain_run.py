@@ -107,7 +107,13 @@ def run_chain(name: str, steps: list[dict], tunnel_budget: float) -> int:
         cmd = step["cmd"]
         tmo = float(step.get("timeout", 3600))
         log_path = f"/tmp/chain_{name}_{i:02d}_{sname}.log"
-        rec = {"name": sname, "cmd": cmd, "timeout": tmo, "log": log_path}
+        # Pre-register with rc="started": a step killed mid-flight leaves an
+        # EXPLICIT marker instead of a record with no rc (VERDICT r3 W2 /
+        # item 8 — the r3h bench_all provenance hole). Completion overwrites
+        # it with the real integer rc below.
+        rec = {"name": sname, "cmd": cmd, "timeout": tmo, "log": log_path,
+               "rc": "started",
+               "started": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
         chain["steps"].append(rec)
         _save_ledger(ledger)
 
@@ -126,6 +132,20 @@ def run_chain(name: str, steps: list[dict], tunnel_budget: float) -> int:
                 f.write(str(os.getpid()))
         except OSError:
             pass
+        # Close the bench-vs-chain TOCTOU (ADVICE r3): if bench posted its
+        # sentinel in the window between yield_to_bench() above and the
+        # CHAIN_BUSY write, drop the marker, yield again, and re-acquire.
+        while os.path.exists(BENCH_SENTINEL):
+            try:
+                os.remove(CHAIN_BUSY)
+            except OSError:
+                pass
+            yield_to_bench()
+            try:
+                with open(CHAIN_BUSY, "w") as f:
+                    f.write(str(os.getpid()))
+            except OSError:
+                pass
         env = dict(os.environ)
         # children (e.g. a bench.py step) recognize their own chain's busy
         # marker instead of waiting on it
