@@ -57,6 +57,13 @@ def main(argv=None):
         help="with --export-dir: calibration-based int8 PTQ of the exported "
         "graph (the TensorRT-int8 analogue; convs run on the MXU s8 path)",
     )
+    ap.add_argument(
+        "--export-stacked", action="store_true",
+        help="with --export-dir (cerberus variant): export the "
+        "producer-stacked signature — ONE (3B,H,W,3) input; pjrt_runner "
+        "then assembles the three decoded PNGs into a single contiguous "
+        "host buffer, skipping the per-frame device relayout copies",
+    )
     args = ap.parse_args(argv)
 
     from cerberusnet_tpu.train.config import ExperimentConfig
@@ -78,7 +85,9 @@ def main(argv=None):
         print(f"trace written to {out}")
         return 0
     if args.export_dir:
-        out = trainer.export(args.export_dir, quant=args.quant)
+        out = trainer.export(
+            args.export_dir, quant=args.quant, stacked=args.export_stacked
+        )
         print(f"exported AOT artifact to {out}")
         return 0
     if args.infer:

@@ -58,6 +58,8 @@ class CerberusNet(nn.Module):
     stem_pad_channels: int = 0  # zero-pad image channels for the stem conv (identical math; encoder.py)
     s2d_levels: int = 0  # run the first N encoder levels in s2d space (identical math; encoder.py)
     entry_grad: str = "auto"  # auto | phase: subpixel input-gradient for the stride-2 encoder convs (identical math; common.py conv_s2_phase)
+    pallas_levels: int = 0  # first N encoder levels as fused Pallas kernels (identical math; ops/pallas/encoder_level.py)
+    pallas_grad: str = "xla"  # xla | pallas backward for the fused levels
     seg_head: str = "fpn"  # fpn | aspp (models/segmentation.py factory)
     dtype: jnp.dtype = jnp.float32
 
@@ -80,7 +82,9 @@ class CerberusNet(nn.Module):
                                  s2d_stem=self.s2d_stem,
                                  stem_pad_channels=self.stem_pad_channels,
                                  s2d_levels=self.s2d_levels,
-                                 entry_grad=self.entry_grad)
+                                 entry_grad=self.entry_grad,
+                                 pallas_levels=self.pallas_levels,
+                                 pallas_grad=self.pallas_grad)
         if self.stacked_input:
             if right is not None or temporal is not None:
                 raise ValueError(

@@ -181,6 +181,20 @@ class PyramidEncoder(nn.Module):
     # convolution (the relayout-heavy backward pattern the r3 train profile
     # flags). Train-step A/B knob; falls back to nn.Conv on odd extents.
     entry_grad: str = "auto"
+    # Run the first N levels as fused Pallas kernels (one program per level:
+    # entry s2 conv + two s1 convs + leakys, all intermediates in VMEM in a
+    # lane-aligned W-folded layout — ops/pallas/encoder_level.py). Targets
+    # the 1.78 ms/step of small-channel layout copies every XLA-level
+    # reformulation failed to remove (r3 verdict item 2). Math- and
+    # param-tree-identical; custom VJP recomputes via XLA so gradients are
+    # bit-equal to the plain path. Requires H%2==0, W%4==0 at each level.
+    # NOT valid under spatial sharding (no halo exchange across shards);
+    # the trainer forces it off when spatial mesh > 1.
+    pallas_levels: int = 0
+    # Backward path of the fused Pallas levels: "xla" recomputes with plain
+    # convs (bit-equal grads), "pallas" runs the fused reverse-sweep kernel
+    # (dx+dw+db in one program — the train-step copy-frontier lever).
+    pallas_grad: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -190,6 +204,33 @@ class PyramidEncoder(nn.Module):
         # (whose mirror would otherwise desync flax auto-numbering) yields
         # an identical param tree
         n = 0
+        if self.pallas_levels:
+            if self.s2d_levels or self.s2d_stem or self.stem_pad_channels:
+                raise ValueError(
+                    "pallas_levels is mutually exclusive with the s2d/stem "
+                    "reformulation knobs")
+            from cerberusnet_tpu.ops.pallas.encoder_level import encoder_level
+
+            cin = x.shape[-1]
+            x = x.astype(self.dtype)
+            for i in range(min(self.pallas_levels, len(self.channels))):
+                ch = self.channels[i]
+                kbs = []
+                for j in range(3):
+                    k, b = _ConvBlockMirror(
+                        ch, cin if j == 0 else ch, name=f"ConvBlock_{n}"
+                    )()
+                    kbs.append((k, b))
+                    n += 1
+                x = encoder_level(
+                    x,
+                    kbs[0][0], kbs[0][1],
+                    kbs[1][0], kbs[1][1],
+                    kbs[2][0], kbs[2][1],
+                    grad=self.pallas_grad,
+                )
+                feats.append(x)
+                cin = ch
         if self.s2d_levels:
             # z holds s2d(level input); after each level's three convs it
             # holds s2d(level output), which is EXACTLY the next level's

@@ -43,6 +43,8 @@ class ModelConfig:
     stem_pad_channels: int = 0  # zero-pad image channels for the stem conv
     s2d_levels: int = 0  # first N encoder levels fully in s2d space
     entry_grad: str = "auto"  # auto | phase stride-2 input-grad (common.py)
+    pallas_levels: int = 0  # first N encoder levels as fused Pallas kernels
+    pallas_grad: str = "xla"  # xla | pallas backward for the fused levels
     est_input: str = "concat"  # concat | split estimator feed (models/flow.py; concat won the r3 race)
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     # RAFT family (models/raft.py) — iterative all-pairs refinement:

@@ -91,6 +91,8 @@ def build_model(cfg: ModelConfig):
             stem_pad_channels=cfg.stem_pad_channels,
             s2d_levels=cfg.s2d_levels,
             entry_grad=cfg.entry_grad,
+            pallas_levels=cfg.pallas_levels,
+            pallas_grad=cfg.pallas_grad,
             est_input=cfg.est_input,
             **common,
         )
@@ -298,6 +300,7 @@ class Trainer:
             or config.model.s2d_stem
             or config.model.stem_pad_channels
             or config.model.entry_grad == "phase"
+            or config.model.pallas_levels
         ):
             # QAT fake-quants convs via flax interception, which cannot see
             # raw-lax convs: the fused estimator AND the s2d/padded-stem
@@ -310,6 +313,15 @@ class Trainer:
             config.model.s2d_stem = False
             config.model.stem_pad_channels = 0
             config.model.entry_grad = "auto"
+            config.model.pallas_levels = 0
+        if (
+            getattr(config.model, "pallas_levels", 0)
+            and config.train.num_spatial_devices > 1
+        ):
+            # The fused Pallas level kernel sees only its local H-shard and
+            # cannot halo-exchange across shards; the plain conv path lets
+            # GSPMD insert the halos. Identical math either way.
+            config.model.pallas_levels = 0
         self.model, self.forward, self.example_keys = build_model(config.model)
         self.tx = build_optimizer(config.optim)
         self.mesh = make_mesh(
@@ -959,7 +971,8 @@ class Trainer:
         return path
 
     def export(self, out_dir: str, batch: int = 1, quant: Optional[str] = None,
-               calib_batches: int = 2, quant_skip: tuple = ()):
+               calib_batches: int = 2, quant_skip: tuple = (),
+               stacked: bool = False):
         """AOT-export the current weights as a deployment artifact
         (SURVEY.md §4.3): StableHLO + manifest + compile options, consumable
         by jax.export and the C++ PJRT runner. Works for every variant.
@@ -967,7 +980,17 @@ class Trainer:
         quant='int8' mirrors the reference's TensorRT int8 engine build
         (SURVEY.md §3 C16): calibrate activation ranges on ``calib_batches``
         batches from the training dataset, quantize conv weights
-        per-output-channel, and bake the int8 graph into the artifact."""
+        per-output-channel, and bake the int8 graph into the artifact.
+
+        stacked=True (cerberus variant only) exports the producer-stacked
+        signature: ONE (3B, H, W, 3) input holding [left; right; temporal]
+        instead of three separate frames. Identical math/params
+        (CerberusNet.stacked_input); the point is the native serving path —
+        pjrt_runner decodes the three PNGs into one contiguous host buffer,
+        so the 3-frame assembly costs nothing anywhere (VERDICT r3 item 9:
+        the r3 copy profile charges ~1.06 ms/frame to the separate-input
+        relays, and the device-side A/B tied because XLA can only fuse the
+        concat — it cannot delete the per-parameter relayout copies)."""
         from cerberusnet_tpu.export.aot import export_inference, save_exported
 
         h, w = self.config.data.hw
@@ -983,6 +1006,7 @@ class Trainer:
         from contextlib import nullcontext
 
         make_interception = nullcontext
+        q_model = None
         # under QAT self.forward is the fake-quant wrapper; export either
         # the plain float graph or (quant='int8') the real int8 graph
         forward = getattr(self, "_base_forward", None) or self.forward
@@ -1010,6 +1034,7 @@ class Trainer:
                 or m.s2d_stem
                 or m.stem_pad_channels
                 or m.entry_grad == "phase"
+                or m.pallas_levels
             ):
                 q_model, forward, _ = build_model(
                     _dc.replace(
@@ -1019,6 +1044,7 @@ class Trainer:
                         s2d_stem=False,
                         stem_pad_channels=0,
                         entry_grad="auto",
+                        pallas_levels=0,
                     )
                 )
             else:
@@ -1045,14 +1071,35 @@ class Trainer:
         elif quant is not None:
             raise ValueError(f"unknown quant mode {quant!r} (expected 'int8')")
 
-        def infer(*imgs):
-            batch_d = dict(zip(self.example_keys, imgs))
-            with make_interception():
-                out = forward(variables, batch_d)
-            # deployment surface: full-res outputs only, fixed order
-            return tuple(
-                out[k] for k in ("seg_logits", "flow", "disp") if k in out
+        if stacked:
+            import dataclasses as _dcs
+
+            if self.config.model.variant != "cerberus":
+                raise ValueError(
+                    "stacked export needs the 3-frame cerberus variant, got "
+                    f"{self.config.model.variant!r}")
+            base_model = q_model or self.model
+            s_model = _dcs.replace(base_model, stacked_input=True)
+            example = (
+                jnp.zeros((3 * batch, h, w, 3), self.config.model.jnp_dtype),
             )
+
+            def infer(stacked_imgs):
+                with make_interception():
+                    out = s_model.apply(variables, stacked_imgs)
+                return tuple(
+                    out[k] for k in ("seg_logits", "flow", "disp") if k in out
+                )
+
+        else:
+            def infer(*imgs):
+                batch_d = dict(zip(self.example_keys, imgs))
+                with make_interception():
+                    out = forward(variables, batch_d)
+                # deployment surface: full-res outputs only, fixed order
+                return tuple(
+                    out[k] for k in ("seg_logits", "flow", "disp") if k in out
+                )
 
         exported = export_inference(infer, example)
         return save_exported(exported, out_dir)

@@ -204,6 +204,41 @@ std::vector<char> PngToInput(const std::string& path, int64_t want_h,
   return out;
 }
 
+// Decode K PNG frames into ONE contiguous (K, H, W, 3) host tensor — the
+// producer-stacked serving input (export --stacked): the 3-frame assembly
+// happens at decode time in host memory, so the device program starts from
+// a single buffer and never pays the per-frame relayout copies the separate
+// (1,H,W,3) parameters cost on TPU (~1.06 ms/frame in the r3 copy profile).
+std::vector<char> PngsToStackedInput(const std::vector<std::string>& paths,
+                                     const Shape& s) {
+  int dtype_code;
+  size_t itemsize;
+  if (s.dtype == "float32") { dtype_code = 0; itemsize = 4; }
+  else if (s.dtype == "bfloat16") { dtype_code = 1; itemsize = 2; }
+  else { Die("png inputs support float32/bfloat16, got " + s.dtype); return {}; }
+  const int64_t h = s.dims[1], w = s.dims[2];
+  const size_t frame = size_t(h) * size_t(w) * 3 * itemsize;
+  std::vector<char> out(frame * paths.size());
+  for (size_t i = 0; i < paths.size(); ++i) {
+    int rc = cnt_png_to_input(paths[i].c_str(), uint32_t(h), uint32_t(w),
+                              dtype_code, out.data() + i * frame);
+    if (rc != 0)
+      Die(paths[i] + ": " + cnt_png_error(rc) +
+          " (image must be an 8-bit PNG of exactly " + std::to_string(h) +
+          "x" + std::to_string(w) + ")");
+  }
+  return out;
+}
+
+// True when the manifest declares the producer-stacked signature: ONE
+// (K, H, W, 3) input taking K decoded frames.
+bool IsStackedPngSignature(const std::vector<Shape>& in_shapes,
+                           size_t num_pngs) {
+  return in_shapes.size() == 1 && in_shapes[0].dims.size() == 4 &&
+         in_shapes[0].dims[3] == 3 && num_pngs > 1 &&
+         in_shapes[0].dims[0] == static_cast<int64_t>(num_pngs);
+}
+
 void AwaitAndDestroyEvent(PJRT_Event* ev, const char* what) {
   if (!ev) return;
   PJRT_Event_Await_Args eargs;
@@ -357,14 +392,18 @@ void ExecuteOnce(PJRT_LoadedExecutable* exec,
       std::stringstream ss(line.substr(5));
       std::string tok;
       while (std::getline(ss, tok, ',')) paths.push_back(tok);
-      if (paths.size() != in_shapes.size())
+      if (IsStackedPngSignature(in_shapes, paths.size())) {
+        host_in.push_back(PngsToStackedInput(paths, in_shapes[0]));
+      } else if (paths.size() != in_shapes.size()) {
         err("PNGS count != manifest input count");
-      for (size_t ii = 0; ii < in_shapes.size(); ++ii) {
-        const Shape& s = in_shapes[ii];
-        if (s.dims.size() != 4 || s.dims[0] != 1 || s.dims[3] != 3)
-          err("PNGS expects (1, H, W, 3) image inputs");
-        host_in.push_back(
-            PngToInput(paths[ii], s.dims[1], s.dims[2], s.dtype));
+      } else {
+        for (size_t ii = 0; ii < in_shapes.size(); ++ii) {
+          const Shape& s = in_shapes[ii];
+          if (s.dims.size() != 4 || s.dims[0] != 1 || s.dims[3] != 3)
+            err("PNGS expects (1, H, W, 3) image inputs");
+          host_in.push_back(
+              PngToInput(paths[ii], s.dims[1], s.dims[2], s.dtype));
+        }
       }
     } else {
       err("unknown request '" + line + "'");
@@ -609,7 +648,10 @@ int main(int argc, char** argv) {
   // ---- input buffers (zero-filled, or loaded from --inputs files) ----
   if (!input_files.empty() && input_files.size() != in_shapes.size())
     Die("--inputs count != manifest input count");
-  if (!png_files.empty() && png_files.size() != in_shapes.size())
+  bool stacked_pngs =
+      !png_files.empty() && IsStackedPngSignature(in_shapes, png_files.size());
+  if (!png_files.empty() && !stacked_pngs &&
+      png_files.size() != in_shapes.size())
     Die("--pngs count != manifest input count");
   std::vector<PJRT_Buffer*> inputs;
   std::vector<std::vector<char>> host_data;
@@ -619,7 +661,11 @@ int main(int argc, char** argv) {
     PJRT_Buffer_Type type = DtypeToPjrt(s.dtype, &itemsize);
     size_t n = itemsize;
     for (int64_t d : s.dims) n *= static_cast<size_t>(d);
-    if (!png_files.empty()) {
+    if (stacked_pngs) {
+      std::vector<char> px = PngsToStackedInput(png_files, s);
+      if (px.size() != n) Die("internal: stacked png tensor size mismatch");
+      host_data.push_back(std::move(px));
+    } else if (!png_files.empty()) {
       if (s.dims.size() != 4 || s.dims[0] != 1 || s.dims[3] != 3)
         Die("--pngs expects (1, H, W, 3) image inputs");
       std::vector<char> px =

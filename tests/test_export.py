@@ -60,3 +60,50 @@ class TestExport:
         np.testing.assert_allclose(seg, live["seg_logits"], rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(flow, live["flow"], rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(disp, live["disp"], rtol=1e-5, atol=1e-5)
+
+    def test_trainer_stacked_export(self, tmp_path):
+        """Producer-stacked export (VERDICT r3 item 9): ONE (3B,H,W,3)
+        input, same outputs as the separate-frame artifact."""
+        import json
+        import os
+
+        from cerberusnet_tpu.train.config import ExperimentConfig
+        from cerberusnet_tpu.train.trainer import Trainer
+
+        cfg = ExperimentConfig.from_dict(
+            {
+                "name": "stacked-export",
+                "model": {
+                    "variant": "cerberus",
+                    "encoder_channels": [8, 12, 16, 16, 16, 16],
+                    "est_channels": [16, 16, 12],
+                    "ctx_channels": [16, 16],
+                    "fpn_channels": 16,
+                    "corr_impl": "pure",
+                },
+                "data": {
+                    "dataset": "synthetic",
+                    "hw": [64, 64],
+                    "batch_size": 1,
+                    "num_workers": 1,
+                    "synthetic_length": 2,
+                },
+                "optim": {"lr": 1e-3, "total_steps": 4, "warmup_steps": 0,
+                          "schedule": "constant"},
+                "train": {"epochs": 1, "num_data_devices": 1},
+            }
+        )
+        tr = Trainer(cfg)
+        sep = tr.export(str(tmp_path / "sep"))
+        stk = tr.export(str(tmp_path / "stk"), stacked=True)
+        with open(os.path.join(stk, "manifest.json")) as f:
+            man = json.load(f)
+        assert len(man["inputs"]) == 1
+        assert man["inputs"][0]["shape"] == [3, 64, 64, 3]
+
+        rng = np.random.RandomState(0)
+        imgs = [rng.rand(1, 64, 64, 3).astype(np.float32) for _ in range(3)]
+        out_sep = load_exported(sep).call(*imgs)
+        out_stk = load_exported(stk).call(np.concatenate(imgs, 0))
+        for a, b in zip(out_sep, out_stk):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

@@ -279,6 +279,7 @@ class TestRawLaxKnobRebuild:
                 s2d_levels=2,
                 fused=True,
                 entry_grad="phase",
+                pallas_levels=2,
             ),
             data=DataConfig(
                 dataset="synthetic", hw=(64, 64), batch_size=1,
@@ -298,3 +299,5 @@ class TestRawLaxKnobRebuild:
         # entry_grad='phase' routes level-entry convs through raw-lax
         # conv_s2_phase, invisible to flax quant interception (ADVICE r3)
         assert tr.config.model.entry_grad == "auto"
+        # pallas_levels convs are custom calls — likewise uninterceptable
+        assert tr.config.model.pallas_levels == 0

@@ -1,0 +1,102 @@
+"""Hardware smoke test for the fused Pallas encoder levels (round 4).
+
+Run BEFORE racing `ab_forward --set penc`: the kernel's CPU-interpret
+equality is pinned in tests/test_pallas_encoder.py, but the Mosaic TPU
+lowering (strided outer slices, lane-concats, sublane-offset stores) must be
+verified numerically on the real chip once. Compiles small, then checks the
+full CerberusNet forward at the bench shape.
+
+Exits nonzero on any mismatch. Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/penc_smoke.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-bench")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    from cerberusnet_tpu.ops.pallas.encoder_level import (
+        encoder_level,
+        encoder_level_xla,
+    )
+
+    failures = 0
+
+    # --- 1. raw kernel, small shapes, f32 + bf16
+    for (b, h, w, c, f, dt, tol) in [
+        (1, 32, 64, 3, 16, jnp.float32, 3e-5),
+        (2, 64, 128, 3, 16, jnp.float32, 3e-5),
+        (1, 256, 512, 16, 32, jnp.float32, 3e-4),
+        (1, 512, 1024, 3, 16, jnp.bfloat16, 0.1),
+    ]:
+        ks = jax.random.split(jax.random.PRNGKey(b * h + w), 7)
+        x = jax.random.normal(ks[0], (b, h, w, c), dt)
+        kb = [
+            jax.random.normal(ks[1], (3, 3, c, f), jnp.float32) * 0.2,
+            jax.random.normal(ks[2], (f,), jnp.float32) * 0.1,
+            jax.random.normal(ks[3], (3, 3, f, f), jnp.float32) * 0.2,
+            jax.random.normal(ks[4], (f,), jnp.float32) * 0.1,
+            jax.random.normal(ks[5], (3, 3, f, f), jnp.float32) * 0.2,
+            jax.random.normal(ks[6], (f,), jnp.float32) * 0.1,
+        ]
+        if dt == jnp.bfloat16:
+            kb = [v.astype(dt) for v in kb]
+        out = np.asarray(
+            jax.jit(lambda x, *kb: encoder_level(x, *kb))(x, *kb),
+            dtype=np.float32,
+        )
+        ref = np.asarray(
+            jax.jit(encoder_level_xla)(x, *kb), dtype=np.float32
+        )
+        scale = max(1.0, float(np.abs(ref).max()))
+        diff = float(np.abs(out - ref).max()) / scale
+        ok = diff < tol
+        failures += 0 if ok else 1
+        print(
+            f"[penc_smoke] level {b}x{h}x{w}x{c}->{f} {jnp.dtype(dt).name}: "
+            f"max rel diff {diff:.2e} ({'OK' if ok else 'FAIL'})",
+            flush=True,
+        )
+
+    # --- 2. full joint model at the bench shape, bf16
+    from cerberusnet_tpu.models import CerberusNet
+
+    imgs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (1, 512, 1024, 3),
+                          jnp.bfloat16)
+        for i in range(3)
+    )
+    base = CerberusNet(dtype=jnp.bfloat16)
+    pal = CerberusNet(dtype=jnp.bfloat16, pallas_levels=2)
+    v = jax.jit(base.init)(jax.random.PRNGKey(0), *imgs)
+    o0 = jax.jit(base.apply)(v, *imgs)
+    o1 = jax.jit(pal.apply)(v, *imgs)
+    for k in ("flow", "disp", "seg_logits"):
+        a = np.asarray(o0[k], np.float32)
+        bb = np.asarray(o1[k], np.float32)
+        scale = max(1.0, float(np.abs(a).max()))
+        diff = float(np.abs(a - bb).max()) / scale
+        ok = diff < 0.05
+        failures += 0 if ok else 1
+        print(f"[penc_smoke] cerberus.{k}: max rel diff {diff:.2e} "
+              f"({'OK' if ok else 'FAIL'})", flush=True)
+
+    if failures:
+        print(f"[penc_smoke] {failures} FAILURES", flush=True)
+        return 1
+    print("[penc_smoke] all OK", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -21,17 +21,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-bench")
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def _build(name, iters, unroll, dtype):
+def _build(name, iters, unroll, dtype, level=3):
     from cerberusnet_tpu import models
 
     if name == "raftflow":
-        return models.RAFTFlowNet(dtype=dtype, iters=iters,
+        return models.RAFTFlowNet(dtype=dtype, iters=iters, level=level,
                                   unroll_iters=unroll), 2
     if name == "raftstereo":
-        return models.RAFTStereoNet(dtype=dtype, iters=iters,
+        return models.RAFTStereoNet(dtype=dtype, iters=iters, level=level,
                                     unroll_iters=unroll), 2
     if name == "cerberusraft":
-        return models.CerberusRAFT(dtype=dtype, iters=iters,
+        return models.CerberusRAFT(dtype=dtype, iters=iters, level=level,
                                    unroll_iters=unroll), 3
     raise SystemExit(f"unknown model {name}")
 
@@ -43,7 +43,12 @@ def main():
     ap.add_argument("--iters-list", type=int, nargs="*", default=(6, 12))
     ap.add_argument("--unroll", action="store_true")
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--hw", type=int, nargs=2, default=(512, 1024))
+    ap.add_argument("--hw", type=int, nargs=2, default=None,
+                    help="single resolution (overrides the default sweep)")
+    ap.add_argument("--levels", type=int, nargs="*", default=(3, 4),
+                    help="operating levels (1/2^l res): the all-pairs "
+                    "volume is ((H*W)/4^l)^2 — level 4 at 512x1024 is 16x "
+                    "cheaper than level 3, the suspected r3 pathology")
     ap.add_argument("--two-point", type=int, nargs=2, default=(2, 8))
     args = ap.parse_args()
 
@@ -52,36 +57,56 @@ def main():
 
     from cerberusnet_tpu.utils.benchutil import time_fn_two_point
 
-    h, w = args.hw
+    # Default operating-point grid (VERDICT r3 item 3): the committed 0.69
+    # fps row was 512x1024/level3/iters12 only; the envelope needs both a
+    # resolution axis and an operating-level axis. Full grid for the
+    # flagship joint model; a reduced grid for the single-task pair (each
+    # point costs two remote compiles).
+    if args.hw is not None:
+        points = [(tuple(args.hw), lv, it)
+                  for lv in args.levels for it in args.iters_list]
+        grids = {name: points for name in args.models}
+    else:
+        full = [((256, 512), 3, 6), ((256, 512), 3, 12),
+                ((384, 768), 3, 12), ((512, 1024), 3, 12),
+                ((512, 1024), 4, 6), ((512, 1024), 4, 12)]
+        small = [((256, 512), 3, 12), ((512, 1024), 4, 12)]
+        grids = {name: (full if name == "cerberusraft" else small)
+                 for name in args.models}
     for name in args.models:
-        for iters in args.iters_list:
-            model, n_in = _build(name, iters, args.unroll, jnp.bfloat16)
-            imgs = tuple(
-                jax.random.normal(jax.random.PRNGKey(i),
-                                  (args.batch, h, w, 3), jnp.bfloat16)
-                for i in range(n_in)
-            )
-            variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
+        for (h, w), level, iters in grids[name]:
+            _run_point(name, h, w, level, iters, args, jax, jnp,
+                       time_fn_two_point)
 
-            def fwd(*xs):
-                return model.apply(variables, *xs)
 
-            def reduce_out(out):
-                leaves = jax.tree.leaves(
-                    {k: v for k, v in out.items()
-                     if not k.endswith("_pyramid") and not k.endswith("_seq")}
-                )
-                return sum(x.astype(jnp.float32).mean() for x in leaves)
+def _run_point(name, h, w, level, iters, args, jax, jnp, time_fn_two_point):
+    model, n_in = _build(name, iters, args.unroll, jnp.bfloat16, level=level)
+    imgs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i),
+                          (args.batch, h, w, 3), jnp.bfloat16)
+        for i in range(n_in)
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
 
-            sec = time_fn_two_point(fwd, imgs, iters=tuple(args.two_point),
-                                    reduce_out=reduce_out)
-            print(json.dumps({
-                "model": name, "iters": iters,
-                "mode": "unroll" if args.unroll else "scan",
-                "batch": args.batch, "hw": [h, w],
-                "ms_per_frame": round(sec * 1e3 / args.batch, 3),
-                "fps_per_chip": round(args.batch / sec, 2),
-            }), flush=True)
+    def fwd(*xs):
+        return model.apply(variables, *xs)
+
+    def reduce_out(out):
+        leaves = jax.tree.leaves(
+            {k: v for k, v in out.items()
+             if not k.endswith("_pyramid") and not k.endswith("_seq")}
+        )
+        return sum(x.astype(jnp.float32).mean() for x in leaves)
+
+    sec = time_fn_two_point(fwd, imgs, iters=tuple(args.two_point),
+                            reduce_out=reduce_out)
+    print(json.dumps({
+        "model": name, "iters": iters, "level": level,
+        "mode": "unroll" if args.unroll else "scan",
+        "batch": args.batch, "hw": [h, w],
+        "ms_per_frame": round(sec * 1e3 / args.batch, 3),
+        "fps_per_chip": round(args.batch / sec, 2),
+    }), flush=True)
 
 
 if __name__ == "__main__":

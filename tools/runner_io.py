@@ -162,17 +162,36 @@ def verify_pngs(export_dir: str, plugin: str, runner: str, seed: int = 0,
     tmp = os.path.join(export_dir, "_verify_png")
     os.makedirs(tmp, exist_ok=True)
     paths, ref_inputs = [], []
-    for i, spec in enumerate(manifest["inputs"]):
-        b, h, w, c = spec["shape"]
-        assert (b, c) == (1, 3), "png verify expects (1,H,W,3) inputs"
-        img = rng.randint(0, 256, (h, w, 3), np.uint8)
-        p = os.path.join(tmp, f"in_{i}.png")
-        cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
-        paths.append(p)
-        pre = np.asarray(
-            encodings.preprocess_image(data_io.read_image_u8(p)[None])
+    specs = manifest["inputs"]
+    if len(specs) == 1 and specs[0]["shape"][0] > 1:
+        # producer-stacked export: ONE (K,H,W,3) input <- K decoded PNGs,
+        # assembled contiguously by the runner (no device-side concat)
+        k, h, w, c = specs[0]["shape"]
+        assert c == 3, "stacked png verify expects (K,H,W,3)"
+        frames = []
+        for i in range(k):
+            img = rng.randint(0, 256, (h, w, 3), np.uint8)
+            p = os.path.join(tmp, f"in_{i}.png")
+            cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            paths.append(p)
+            frames.append(np.asarray(
+                encodings.preprocess_image(data_io.read_image_u8(p)[None])
+            ))
+        ref_inputs.append(
+            np.concatenate(frames, 0).astype(_np_dtype(specs[0]["dtype"]))
         )
-        ref_inputs.append(pre.astype(_np_dtype(spec["dtype"])))
+    else:
+        for i, spec in enumerate(specs):
+            b, h, w, c = spec["shape"]
+            assert (b, c) == (1, 3), "png verify expects (1,H,W,3) inputs"
+            img = rng.randint(0, 256, (h, w, 3), np.uint8)
+            p = os.path.join(tmp, f"in_{i}.png")
+            cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            paths.append(p)
+            pre = np.asarray(
+                encodings.preprocess_image(data_io.read_image_u8(p)[None])
+            )
+            ref_inputs.append(pre.astype(_np_dtype(spec["dtype"])))
 
     _run_native(export_dir, plugin, runner, paths, tmp, pngs=True)
     native = read_outputs(tmp)
@@ -317,6 +336,71 @@ def verify_serve(export_dir: str, plugin: str, runner: str, seed: int = 0,
     return ok and rc == 0
 
 
+def race_serve_pngs(dir_a: str, dir_b: str, plugin: str, runner: str,
+                    requests: int = 20, rounds: int = 3,
+                    labels=("separate", "stacked")) -> dict:
+    """Serving-latency race between two export artifacts of the SAME model
+    (e.g. separate-frame vs producer-stacked signatures): per round, spawn
+    each daemon (warm executable cache), stream ``requests`` PNGS requests,
+    record per-request wall latency; report medians over all rounds.
+
+    VERDICT r3 item 9: the device-side stacked race tied (XLA fuses the
+    concat), but the serving path pays per-parameter host->device relayout
+    copies the stacked signature avoids — this harness measures that."""
+    import statistics
+    import time
+
+    import cv2
+
+    rng = np.random.RandomState(0)
+    results = {lab: [] for lab in labels}
+    png_dir = os.path.join(dir_a, "_race_pngs")
+    os.makedirs(png_dir, exist_ok=True)
+
+    def _frames_for(export_dir):
+        with open(os.path.join(export_dir, "manifest.json")) as f:
+            specs = json.load(f)["inputs"]
+        if len(specs) == 1 and specs[0]["shape"][0] > 1:
+            k, h, w, _ = specs[0]["shape"]
+        else:
+            k = len(specs)
+            _, h, w, _ = specs[0]["shape"]
+        paths = []
+        for i in range(k):
+            p = os.path.join(png_dir, f"f{h}x{w}_{i}.png")
+            if not os.path.exists(p):
+                img = rng.randint(0, 256, (h, w, 3), np.uint8)
+                cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            paths.append(p)
+        return paths
+
+    for r in range(rounds):
+        for lab, d in zip(labels, (dir_a, dir_b)):
+            paths = _frames_for(d)
+            client = ServeClient(d, plugin, runner,
+                                 cache=os.path.join(d, "_exec_cache"))
+            client.infer_pngs(paths)  # warmup (first-request setup)
+            for _ in range(requests):
+                t0 = time.time()
+                client.infer_pngs(paths)
+                results[lab].append(time.time() - t0)
+            client.close()
+            med = statistics.median(results[lab])
+            print(f"round {r} {lab}: median {med*1e3:.2f} ms/request "
+                  f"({len(results[lab])} samples)", flush=True)
+    summary = {}
+    for lab in labels:
+        ts = results[lab]
+        summary[lab] = {
+            "median_ms": statistics.median(ts) * 1e3,
+            "min_ms": min(ts) * 1e3,
+            "max_ms": max(ts) * 1e3,
+            "n": len(ts),
+        }
+    print(json.dumps(summary, indent=2))
+    return summary
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -336,7 +420,26 @@ if __name__ == "__main__":
         default=os.path.join(os.path.dirname(__file__), "..", "native",
                              "pjrt_runner", "pjrt_runner"),
     )
+    sr = sub.add_parser(
+        "serve-race",
+        help="serving-latency race: separate-frame vs stacked export",
+    )
+    sr.add_argument("dir_separate")
+    sr.add_argument("dir_stacked")
+    sr.add_argument("--plugin", default="/opt/axon/libaxon_pjrt.so")
+    sr.add_argument("--requests", type=int, default=20)
+    sr.add_argument("--rounds", type=int, default=3)
+    sr.add_argument(
+        "--runner",
+        default=os.path.join(os.path.dirname(__file__), "..", "native",
+                             "pjrt_runner", "pjrt_runner"),
+    )
     args = ap.parse_args()
+    if args.cmd == "serve-race":
+        race_serve_pngs(args.dir_separate, args.dir_stacked, args.plugin,
+                        args.runner, requests=args.requests,
+                        rounds=args.rounds)
+        sys.exit(0)
     if args.serve:
         sys.exit(
             0 if verify_serve(args.export_dir, args.plugin, args.runner)
