@@ -44,8 +44,13 @@ def _loop_time(fn, args, iters, reduce_out):
     compile on the remote helper, 2+12 compiles in ~round-1 time)."""
     from cerberusnet_tpu.utils.benchutil import time_fn_two_point
 
+    # CERBERUS_BENCH_AUTO_LAYOUT=1: measure with XLA-chosen input layouts
+    # (arrays device_put into the compiled formats) — flips the headline to
+    # the auto-layout serving convention once the interleaved A/B
+    # (tools/ab_forward.py --set layout) confirms the win on hardware.
+    auto = os.environ.get("CERBERUS_BENCH_AUTO_LAYOUT", "") == "1"
     return time_fn_two_point(fn, args, iters=(2, 2 + iters),
-                             reduce_out=reduce_out)
+                             reduce_out=reduce_out, auto_layout=auto)
 
 
 def bench_full3head(batch=2, hw=(512, 1024), iters=10, dtype=jnp.bfloat16,

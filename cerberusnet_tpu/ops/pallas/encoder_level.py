@@ -264,8 +264,13 @@ def _level_kernel(
 
 
 def _pick_tile(h2):
-    """Largest divisor of H/2 that is <= 32 and >= 4 (rows per program)."""
+    """Largest divisor of H/2 that is <= 32 (rows per program). Falls back
+    to the largest divisor <= 32 for awkward extents (e.g. H/2=50 -> 25),
+    and to h2 itself only when h2 is prime-ish and small."""
     for t in (32, 16, 8, 4):
+        if h2 % t == 0:
+            return t
+    for t in range(min(32, h2), 0, -1):
         if h2 % t == 0:
             return t
     return h2

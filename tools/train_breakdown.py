@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--flatten", action="store_true")
     ap.add_argument("--upsample", default="resize", choices=("resize", "phase"),
                     help="bilinear-2x lowering (models/common.py upsample2x)")
+    ap.add_argument("--pallas-levels", type=int, default=0,
+                    help="first N encoder levels as fused Pallas kernels")
+    ap.add_argument("--pallas-grad", default="xla", choices=("xla", "pallas"),
+                    help="backward path of the fused Pallas levels")
+    ap.add_argument("--entry-grad", default="auto", choices=("auto", "phase"),
+                    help="stride-2 encoder input-gradient lowering")
     ap.add_argument("--segments", nargs="*",
                     default=("fwd", "fwdbwd", "full"))
     args = ap.parse_args()
@@ -54,7 +60,10 @@ def main():
     from cerberusnet_tpu.train import losses
     from cerberusnet_tpu.utils.benchutil import _perturb, time_fn_two_point
 
-    model = CerberusNet(dtype=jnp.bfloat16, upsample_impl=args.upsample)
+    model = CerberusNet(dtype=jnp.bfloat16, upsample_impl=args.upsample,
+                        pallas_levels=args.pallas_levels,
+                        pallas_grad=args.pallas_grad,
+                        entry_grad=args.entry_grad)
     b, (h, w) = args.batch, args.hw
     imgs = tuple(
         jax.random.normal(jax.random.PRNGKey(i), (b, h, w, 3), jnp.bfloat16)
