@@ -135,13 +135,20 @@ def bench_cerberus_dcv(batch=1, hw=(512, 1024), iters=10):
     return batch / sec
 
 
-def bench_raft(batch=1, hw=(512, 1024), iters=6):
+def bench_raft(batch=1, hw=(256, 512), iters=6, raft_iters=12, level=3):
     """RAFT-family iterative flow (models/raft.py): all-pairs MXU
-    correlation + 12 weight-tied GRU refinements under nn.scan. The
-    accuracy-ceiling flow option; measured beside the latency options."""
+    correlation + weight-tied GRU refinements under nn.scan. The
+    accuracy-ceiling flow option; measured beside the latency options.
+
+    Operating point (VERDICT r3 item 4 / W5): the all-pairs volume is
+    ((H*W)/4^level)^2 x corr_levels — at 512x1024/level 3 that is 8192^2x4
+    (~1 GB/frame, memory-bound, the retired 0.69 fps row). The bench row
+    measures the model at its usable envelope (256x512 at 1/8 res by
+    default, i.e. a 2048^2 volume); tools/raft_bench.py sweeps the full
+    grid and BASELINE.md carries the envelope table."""
     from cerberusnet_tpu.models import RAFTFlowNet
 
-    model = RAFTFlowNet(dtype=jnp.bfloat16)
+    model = RAFTFlowNet(dtype=jnp.bfloat16, iters=raft_iters, level=level)
     h, w = hw
     imgs = tuple(
         jax.random.normal(jax.random.PRNGKey(i), (batch, h, w, 3), jnp.bfloat16)
@@ -412,7 +419,10 @@ def main():
             "cerberus_dcv_bf16_fps": lambda: bench_cerberus_dcv(
                 batch=args.batch, iters=args.iters
             ),
-            "raft_bf16_fps": lambda: bench_raft(batch=args.batch),
+            # operating point 256x512 @ 1/8 res (see bench_raft docstring);
+            # the key name carries the point so the row can't be read as a
+            # 512x1024 number
+            "raft_bf16_256x512_fps": lambda: bench_raft(batch=args.batch),
             "train_step_bf16_fps": lambda: bench_train_step(
                 batch=max(args.batch, 2), flatten=True  # trainer default (r3e A/B)
             ),

@@ -314,13 +314,17 @@ class Trainer:
             config.model.stem_pad_channels = 0
             config.model.entry_grad = "auto"
             config.model.pallas_levels = 0
-        if (
-            getattr(config.model, "pallas_levels", 0)
-            and config.train.num_spatial_devices > 1
+        if getattr(config.model, "pallas_levels", 0) and (
+            config.train.num_spatial_devices > 1
+            or config.train.num_data_devices > 1
         ):
             # The fused Pallas level kernel sees only its local H-shard and
-            # cannot halo-exchange across shards; the plain conv path lets
-            # GSPMD insert the halos. Identical math either way.
+            # cannot halo-exchange across shards (spatial), and a
+            # pallas_call has no GSPMD partitioning rule, so under a >1
+            # data mesh XLA would force a gather/replicate around it.
+            # The plain conv path lets GSPMD shard/halo everything.
+            # Identical math either way; single-device training and all
+            # inference/serving surfaces keep the fused kernels.
             config.model.pallas_levels = 0
         self.model, self.forward, self.example_keys = build_model(config.model)
         self.tx = build_optimizer(config.optim)

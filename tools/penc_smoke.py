@@ -91,6 +91,40 @@ def main():
         print(f"[penc_smoke] cerberus.{k}: max rel diff {diff:.2e} "
               f"({'OK' if ok else 'FAIL'})", flush=True)
 
+    # --- 3. standalone level timing: pallas kernel vs the XLA conv chain
+    # at the batched-encoder shapes (B=3). Standalone wins don't guarantee
+    # end-to-end wins (CLAUDE.md rule 7) but a standalone LOSS predicts an
+    # ab_penc failure for ~4 fewer big compiles.
+    from cerberusnet_tpu.utils.benchutil import time_fn_two_point
+
+    for (b, h, w, c, f) in [(3, 512, 1024, 3, 16), (3, 256, 512, 16, 32)]:
+        ks = jax.random.split(jax.random.PRNGKey(7), 7)
+        x = jax.random.normal(ks[0], (b, h, w, c), jnp.bfloat16)
+        kb = [
+            (jax.random.normal(ks[2 * i + 1], (3, 3, c if i == 0 else f, f),
+                               jnp.float32) * 0.2).astype(jnp.bfloat16)
+            for i in range(3)
+        ]
+        bs = [
+            (jax.random.normal(ks[2 * i + 2], (f,), jnp.float32) * 0.1
+             ).astype(jnp.bfloat16)
+            for i in range(3)
+        ]
+        flat = (kb[0], bs[0], kb[1], bs[1], kb[2], bs[2])
+        for label, fn in (
+            ("xla", lambda xx, *a: encoder_level_xla(xx, *a)),
+            ("pallas", lambda xx, *a: encoder_level(xx, *a)),
+        ):
+            try:
+                sec = time_fn_two_point(
+                    fn, (x,) + flat, iters=(2, 10),
+                    reduce_out=lambda o: o.astype(jnp.float32).mean(),
+                )
+                print(f"[penc_smoke] timing level {h}x{w} c{c}->f{f} "
+                      f"{label}: {sec * 1e3:.3f} ms/call", flush=True)
+            except Exception as e:
+                print(f"[penc_smoke] timing {label} failed: {e}", flush=True)
+
     if failures:
         print(f"[penc_smoke] {failures} FAILURES", flush=True)
         return 1
