@@ -203,11 +203,12 @@ def _level_kernel(
         flat = rows.reshape(t1 * Wg, rows.shape[-1])
         acc = acc + _dot(flat, k1_ref[ty]).reshape(t1, Wg, F2a)
     v1 = leaky(acc)
-    # zero out-of-image rows (rows abs < 0 or >= H/2)
+    # zero out-of-image rows (rows abs < 0 or >= H/2). Mosaic has no
+    # value-scatter (v.at[].set) — zero via ref slice stores instead.
     if n_tiles == 1:
-        v1 = v1.at[0:2].set(0.0)
-        v1 = v1.at[t1 - 2 :].set(0.0)
         y1[:, 1 : Wg + 1, :] = v1.astype(y1.dtype)
+        y1[0:2, 1 : Wg + 1, :] = jnp.zeros((2, Wg, F2a), y1.dtype)
+        y1[t1 - 2 :, 1 : Wg + 1, :] = jnp.zeros((2, Wg, F2a), y1.dtype)
     else:
         y1[:, 1 : Wg + 1, :] = v1.astype(y1.dtype)
 
@@ -236,9 +237,9 @@ def _level_kernel(
         acc = acc + _dot(flat, k2_ref[dy]).reshape(t2, Wg, F2)
     v2 = leaky(acc)
     if n_tiles == 1:
-        v2 = v2.at[0:1].set(0.0)
-        v2 = v2.at[t2 - 1 :].set(0.0)
         y2[:, 1 : Wg + 1, :] = v2.astype(y2.dtype)
+        y2[0:1, 1 : Wg + 1, :] = jnp.zeros((1, Wg, F2), y2.dtype)
+        y2[t2 - 1 :, 1 : Wg + 1, :] = jnp.zeros((1, Wg, F2), y2.dtype)
     else:
         y2[:, 1 : Wg + 1, :] = v2.astype(y2.dtype)
 
@@ -502,10 +503,12 @@ def _level_bwd_kernel(
         acc = acc + _dot(rows.reshape(t6 * Wg, -1), k1f_ref[ty]).reshape(
             t6, Wg, F2)
     v1 = leaky(acc)
-    # zero out-of-image rows: local row l is abs r_start + l
+    # zero out-of-image rows: local row l is abs r_start + l (ref slice
+    # stores — Mosaic has no value-scatter)
     if n_tiles == 1:
-        v1 = v1.at[0:3].set(0.0).at[t6 - 3 :].set(0.0)
         y1s[:, 1 : Wg + 1, :] = v1.astype(y1s.dtype)
+        y1s[0:3, 1 : Wg + 1, :] = jnp.zeros((3, Wg, F2), y1s.dtype)
+        y1s[t6 - 3 :, 1 : Wg + 1, :] = jnp.zeros((3, Wg, F2), y1s.dtype)
     else:
         y1s[:, 1 : Wg + 1, :] = v1.astype(y1s.dtype)
 
@@ -530,8 +533,12 @@ def _level_bwd_kernel(
         ).reshape(t2n, Wg, F2)
     v2 = leaky(acc)
     if n_tiles == 1:
-        v2 = v2.at[0:2].set(0.0).at[t2n - 2 :].set(0.0)
         y2s[1 : t6 - 1, 1 : Wg + 1, :] = v2.astype(y2s.dtype)
+        y2s[1:3, 1 : Wg + 1, :] = jnp.zeros((2, Wg, F2), y2s.dtype)
+        y2s[t6 - 3 : t6 - 1, 1 : Wg + 1, :] = jnp.zeros(
+            (2, Wg, F2), y2s.dtype)
+        y2s[0:1, 1 : Wg + 1, :] = jnp.zeros((1, Wg, F2), y2s.dtype)
+        y2s[t6 - 1 :, 1 : Wg + 1, :] = jnp.zeros((1, Wg, F2), y2s.dtype)
     else:
         y2s[1 : t6 - 1, 1 : Wg + 1, :] = v2.astype(y2s.dtype)
         y2s[0:1, 1 : Wg + 1, :] = jnp.zeros((1, Wg, F2), y2s.dtype)

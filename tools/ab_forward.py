@@ -278,6 +278,16 @@ def variant_sets():
             "penc_bwd": dict(pallas_levels=2, pallas_grad="pallas"),
             "penc3_bwd": dict(pallas_levels=3, pallas_grad="pallas"),
         },
+        # combined round-4 winners (race only AFTER penc and layout have
+        # individually won their honest races): the headline-promotion
+        # candidate must beat base as a COMBINATION — fusion boundaries and
+        # layout choices interact, so independent wins don't guarantee an
+        # additive one (CLAUDE.md rule 7).
+        "best": {
+            "base": dict(),
+            "penc2+layout": dict(pallas_levels=2, _auto_layout=True),
+            "penc3+layout": dict(pallas_levels=3, _auto_layout=True),
+        },
         # whole-level space-to-depth (round 3): all convs of the first N
         # encoder levels at 4x channels / half resolution (zero-structured
         # kernels, math-identical) — the systemic candidate against the
