@@ -101,8 +101,10 @@ def tiled_forward(forward, variables, batch, tile_hw, overlap: float = 0.25,
             for k, v in batch.items()
         }
         big = jit_forward(variables, stacked)
+        # model outputs nest pyramid dicts — slice every array leaf, not
+        # the top-level values (a dict indexed with a slice KeyErrors)
         outs = [
-            {k: v[i * b : (i + 1) * b] for k, v in big.items()}
+            jax.tree.map(lambda v, i=i: v[i * b : (i + 1) * b], big)
             for i in range(len(positions))
         ]
 

@@ -30,9 +30,11 @@ Tap algebra (XLA conventions; pinned by tests/test_pallas_encoder.py):
   * stride-1 SAME pads (1, 1): output col w = 2g+px reads cols w+dx-1,
     which span groups g-1, g, g+1 -> operand is the 3-slice lane concat
     [6F], kernel K2f[dy, 6F, 2F].
-  Row handling is identical with local row bases (entry rows are a
-  stride-2 OUTER-dim slice of the input strip — outer strides are plain
-  address arithmetic, not vector ops).
+  Row handling is identical with local row bases. Stride-2 row selection
+  slices an EVEN-length row window and reshapes (rows,...) ->
+  (rows/2, 2, ...) phase 0 — Mosaic's vector.extract_strided_slice is
+  stride-1 only, and value scatters (v.at[].set) don't lower at all, so
+  out-of-image rows are zeroed through ref slice stores.
 
 Halos: the input strip for T output rows spans 2T+9 input rows, which
 overlapping BlockSpecs cannot express; the input stays in HBM (pl.ANY) and
@@ -142,7 +144,12 @@ def _level_kernel(
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
-    sx_rows = 2 * T + 9
+    # 2T+10 rows (even): stride-2 row selection is done by slicing an
+    # EVEN-length window and reshaping (rows, ...) -> (rows/2, 2, ...) then
+    # taking phase 0 — Mosaic's vector.extract_strided_slice only supports
+    # stride 1, so a direct stride-2 lax.slice fails to verify (chain r4e
+    # penc_smoke). The largest window is ty=2 + 2*t1 = 2T+10 rows.
+    sx_rows = 2 * T + 10
 
     # ---- DMA the clamped input strip; zero borders where out of range.
     # Absolute x rows wanted: [2iT-4, 2iT+2T+5). Interior tiles are fully
@@ -184,7 +191,7 @@ def _level_kernel(
 
         @pl.when(i == n_tiles - 1)
         def _last():
-            _copy(0, start, sx_rows - 5)
+            _copy(0, start, sx_rows - 6)
 
         @pl.when((i > 0) & (i < n_tiles - 1))
         def _interior():
@@ -197,10 +204,12 @@ def _level_kernel(
     opa = jnp.concatenate([xs[:, :Wg, :], xs[:, 1 : Wg + 1, :]], axis=-1)
     acc = jnp.broadcast_to(b1_ref[0].astype(jnp.float32), (t1, Wg, F2a))
     for ty in range(3):
-        rows = jax.lax.slice(
-            opa, (ty, 0, 0), (ty + 2 * t1 - 1, Wg, opa.shape[-1]), (2, 1, 1)
-        )  # [t1, Wg, 8C]
-        flat = rows.reshape(t1 * Wg, rows.shape[-1])
+        # rows ty, ty+2, ..., ty+2(t1-1): even-length slice + phase select
+        # (stride-2 vector slices don't verify in Mosaic)
+        sub = jax.lax.slice(
+            opa, (ty, 0, 0), (ty + 2 * t1, Wg, opa.shape[-1])
+        ).reshape(t1, 2, Wg, opa.shape[-1])[:, 0]  # [t1, Wg, 8C]
+        flat = sub.reshape(t1 * Wg, sub.shape[-1])
         acc = acc + _dot(flat, k1_ref[ty]).reshape(t1, Wg, F2a)
     v1 = leaky(acc)
     # zero out-of-image rows (rows abs < 0 or >= H/2). Mosaic has no
@@ -317,7 +326,7 @@ def _level_pallas_raw(x, k1, b1, k2, b2, k3, b3, *, interpret=None):
         ),
         out_shape=jax.ShapeDtypeStruct((b, h2, wg, 2 * f), dt),
         scratch_shapes=[
-            pltpu.VMEM((2 * t + 9, wg + 1, 4 * c), dt),
+            pltpu.VMEM((2 * t + 10, wg + 1, 4 * c), dt),
             pltpu.VMEM((t + 4, wg + 2, 2 * f), dt),
             pltpu.VMEM((t + 2, wg + 2, 2 * f), dt),
             pltpu.SemaphoreType.DMA,
@@ -439,7 +448,10 @@ def _level_bwd_kernel(
     i = pl.program_id(1)
     t6 = T + 6
     h2 = n_tiles * T
-    sx_rows = 2 * T + 13
+    # 2T+14 (even) so every stride-2 row selection can slice an even-length
+    # window and phase-split it (see the forward kernel note): the largest
+    # is the y1 recompute, ty=2 + 2*t6 = 2T+14 rows.
+    sx_rows = 2 * T + 14
 
     first = i == 0
     last = i == n_tiles - 1
@@ -481,7 +493,7 @@ def _level_bwd_kernel(
 
         @pl.when(last)
         def _l():
-            _cp(x_hbm, sx, 0, x_start, sx_rows - 7, Wg)
+            _cp(x_hbm, sx, 0, x_start, sx_rows - 8, Wg)
             _cp(y3_hbm, sy3, 0, r_start, t6 - 3, Wg)
             _cp(g_hbm, sg, 0, r_start, t6 - 3, Wg)
 
@@ -498,8 +510,8 @@ def _level_bwd_kernel(
     acc = jnp.broadcast_to(b1_ref[0].astype(jnp.float32), (t6, Wg, F2))
     for ty in range(3):
         rows = jax.lax.slice(
-            opa, (ty, 0, 0), (ty + 2 * t6 - 1, Wg, opa.shape[-1]), (2, 1, 1)
-        )
+            opa, (ty, 0, 0), (ty + 2 * t6, Wg, opa.shape[-1])
+        ).reshape(t6, 2, Wg, opa.shape[-1])[:, 0]
         acc = acc + _dot(rows.reshape(t6 * Wg, -1), k1f_ref[ty]).reshape(
             t6, Wg, F2)
     v1 = leaky(acc)
@@ -659,9 +671,8 @@ def _level_bwd_kernel(
         # 2p+ty -> local x row 2(p - (iT-3)) + ty - 6 + ... x local base is
         # 2iT-6, so x row 2p+ty = local 2(p-iT)+6+ty; owned p: iT..iT+T
         rows = jax.lax.slice(
-            opa, (6 + ty, 0, 0),
-            (6 + ty + 2 * T - 1, Wg, opa.shape[-1]), (2, 1, 1),
-        )
+            opa, (6 + ty, 0, 0), (6 + ty + 2 * T, Wg, opa.shape[-1])
+        ).reshape(T, 2, Wg, opa.shape[-1])[:, 0]
         pat = rows.reshape(T * Wg, -1).astype(jnp.float32)
         dk1_rows.append(
             jax.lax.dot_general(
@@ -764,7 +775,7 @@ def _level_pallas_bwd(x, y3, g, k1, b1, k2, b2, k3, b3, *, interpret=None):
             jax.ShapeDtypeStruct((1, 2 * f), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * t + 13, wg + 1, 4 * c), dt),
+            pltpu.VMEM((2 * t + 14, wg + 1, 4 * c), dt),
             pltpu.VMEM((t6, wg, 2 * f), dt),      # y3 strip
             pltpu.VMEM((t6, wg, 2 * f), dt),      # g strip
             pltpu.VMEM((t6, wg + 2, 2 * f), dt),  # y1

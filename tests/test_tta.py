@@ -269,7 +269,11 @@ class TestTiledInference:
         def forward(variables, batch):
             x = batch["left"]
             return {"seg_logits": x * 2.0 + 1.0, "flow": x[..., :2] - 0.5,
-                    "disp": x[..., :1] * 3.0}
+                    "disp": x[..., :1] * 3.0,
+                    # real models return nested pyramid dicts — the batched
+                    # slicer must slice leaves, not top-level values (the
+                    # r4e tiled_bench KeyError regression)
+                    "flow_pyramid": {"l2": x[..., :2] * 0.25}}
 
         b = _batch(h=40, w=56)
         seq = tiled_forward(forward, {}, b, tile_hw=(16, 24), overlap=0.25)

@@ -304,9 +304,14 @@ def variant_sets():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--iters", type=int, nargs=2, default=(2, 10),
+    ap.add_argument("--iters", type=int, nargs=2, default=None,
                     metavar=("N1", "N2"),
-                    help="two-point unroll counts; slope over N2-N1 frames")
+                    help="two-point unroll counts; slope over N2-N1 frames. "
+                    "Defaults: (2,10) forward, (1,4) train — a 10-step "
+                    "train unroll is the largest program family we ever "
+                    "send the remote compiler (CLAUDE.md rule 8), and the "
+                    "slope over 3 full train steps (~180 ms) is already "
+                    ">>300x the +-0.5 ms backend noise")
     ap.add_argument("--rounds", type=int, default=5,
                     help="interleaved measurement rounds (compile time "
                     "dominates the tool's cost, so extra rounds are nearly "
@@ -336,6 +341,8 @@ def main():
         for i in range(3)
     )
 
+    if args.iters is None:
+        args.iters = (1, 4) if args.train else (2, 10)
     n1, n2 = args.iters
     assert n2 > n1 > 0
     runners = {}
