@@ -77,7 +77,64 @@ def correlation_pyramid(corr, num_levels: int):
     return pyramid
 
 
-def corr_lookup(pyramid, coords, radius: int):
+def _interp_matrix(pos, size: int, radius: int):
+    """Per-query bilinear interpolation matrix for a (2r+1) window.
+
+    pos: (B, N) fractional positions. Returns (B, N, 2r+1, size) f32 with
+    M[b, n, d, j] = bilinear weight of grid cell j for the sample at
+    pos + (d - r); cells outside [0, size-1] simply never match the
+    equality test, which reproduces the corner-mask zero-outside
+    convention exactly.
+    """
+    pos = pos.astype(jnp.float32)
+    x0 = jnp.floor(pos)
+    f = (pos - x0)[..., None, None]  # (B, N, 1, 1)
+    base = (
+        x0[..., None, None]
+        + jnp.arange(-radius, radius + 1, dtype=jnp.float32)[None, None, :, None]
+    )  # (B, N, P, 1): left corner cell of each window sample
+    cells = jnp.arange(size, dtype=jnp.float32)[None, None, None, :]
+    is0 = (cells == base).astype(jnp.float32)
+    is1 = (cells == base + 1.0).astype(jnp.float32)
+    return is0 * (1.0 - f) + is1 * f
+
+
+def _corr_lookup_onehot(pyramid, coords, radius: int):
+    """Gather-free lookup: the bilinear window sample is LINEAR in the
+    volume, so it factors into two tiny batched matmuls per level,
+    vol' = A_y @ vol @ A_x^T, with the per-query interpolation matrices of
+    _interp_matrix. All MXU/VPU work — no gathers. Math identical to the
+    gather path (fp reassociation only); pinned in tests/test_raft.py.
+
+    Motivation (round 4): the r4e RAFT envelope sweep measured ~27 ms per
+    GRU iteration at a 32x64 latent — the scalar volume gathers dominate
+    (TPU gathers move one element per index; 4 corners x 81 window x 4
+    levels x 2048 queries/iter). The matmul form moves the same data as
+    ~90 MFLOP of batched contractions instead.
+    """
+    b, h, w, _ = coords.shape
+    n = h * w
+    p = 2 * radius + 1
+    cf = coords.astype(jnp.float32).reshape(b, n, 2)
+    outs = []
+    for k, vol in enumerate(pyramid):
+        hk, wk = vol.shape[2], vol.shape[3]
+        xs = cf[..., 0] / (2.0**k)
+        ys = cf[..., 1] / (2.0**k)
+        ay = _interp_matrix(ys, hk, radius)  # (B, N, P, hk)
+        ax = _interp_matrix(xs, wk, radius)  # (B, N, P, wk)
+        v = vol.astype(jnp.float32)
+        rows = jnp.einsum(
+            "bndy,bnyx->bndx", ay, v, preferred_element_type=jnp.float32
+        )
+        out = jnp.einsum(
+            "bndx,bnex->bnde", rows, ax, preferred_element_type=jnp.float32
+        )  # (B, N, P(dy), P(dx)) — matches the meshgrid('xy') ravel order
+        outs.append(out.reshape(b, n, p * p))
+    return jnp.concatenate(outs, axis=-1).reshape(b, h, w, -1)
+
+
+def corr_lookup(pyramid, coords, radius: int, impl: str = "gather"):
     """Sample each pyramid level in a (2r+1)^2 window around ``coords``.
 
     pyramid: list of (B, N, hk, wk) volumes (N = h*w query pixels).
@@ -85,11 +142,14 @@ def corr_lookup(pyramid, coords, radius: int):
              of the frame-2 grid (i.e. base_grid + current flow).
     Returns (B, h, w, len(pyramid) * (2r+1)^2) lookup features, f32.
 
-    Bilinear, zero outside the frame (ops/warp.py convention). Each corner
-    read is one flattened row-gather: volume rows are (hk*wk,) vectors and
-    the (2r+1)^2 window indices index within the row — XLA lowers
-    take_along_axis on the minor dim to its native TPU gather.
+    Bilinear, zero outside the frame (ops/warp.py convention).
+    impl='gather': each corner read is one flattened row-gather (volume
+    rows are (hk*wk,) vectors, take_along_axis on the minor dim).
+    impl='onehot': gather-free two-matmul factorization (see
+    _corr_lookup_onehot) — identical math.
     """
+    if impl == "onehot":
+        return _corr_lookup_onehot(pyramid, coords, radius)
     b, h, w, _ = coords.shape
     n = h * w
     p = 2 * radius + 1
@@ -164,14 +224,29 @@ def correlation_pyramid_1d(corr, num_levels: int):
     return pyramid
 
 
-def corr_lookup_1d(pyramid, coords_x, radius: int):
+def corr_lookup_1d(pyramid, coords_x, radius: int, impl: str = "gather"):
     """1-D lookup: sample each level in a (2r+1) window around ``coords_x``.
 
     pyramid: list of (B, N, wk); coords_x: (B, h, w) absolute x positions in
     the right image (level-0 pixels). Returns (B, h, w, L*(2r+1)), f32.
     Linear interpolation, zero outside the row (the warp1d convention).
+    impl='onehot': gather-free single-matmul factorization (the 1-D
+    instance of _corr_lookup_onehot) — identical math.
     """
     b, h, w = coords_x.shape
+    if impl == "onehot":
+        n, p = h * w, 2 * radius + 1
+        cf = coords_x.astype(jnp.float32).reshape(b, n)
+        outs = []
+        for k, vol in enumerate(pyramid):
+            wk = vol.shape[2]
+            ax = _interp_matrix(cf / (2.0**k), wk, radius)  # (B, N, P, wk)
+            out = jnp.einsum(
+                "bnx,bndx->bnd", vol.astype(jnp.float32), ax,
+                preferred_element_type=jnp.float32,
+            )
+            outs.append(out)
+        return jnp.concatenate(outs, axis=-1).reshape(b, h, w, -1)
     n = h * w
     p = 2 * radius + 1
     delta = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
@@ -336,6 +411,7 @@ class RAFTFlowDecoder(nn.Module):
     radius: int = 4
     iters: int = 12
     unroll_iters: bool = False  # perf knob: unroll instead of nn.scan
+    lookup_impl: str = "gather"  # gather | onehot volume lookup
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -372,7 +448,9 @@ class RAFTFlowDecoder(nn.Module):
             flows, masks = [], []
             flow = flow0
             for _ in range(self.iters):
-                corr_feat = corr_lookup(pyramid, grid + flow, self.radius)
+                corr_feat = corr_lookup(
+                    pyramid, grid + flow, self.radius, impl=self.lookup_impl
+                )
                 hidden, delta, mask = update(hidden, corr_feat, flow, context)
                 flow = flow + delta
                 flows.append(flow)
@@ -392,7 +470,8 @@ class RAFTFlowDecoder(nn.Module):
             # mask slot with zeros of the update block's output shape/dtype
             mask0 = jnp.zeros((b, h, w, factor * factor * 9), self.dtype)
             (hidden, flow, mask), iterates = ScanUpdate(
-                self.hdim, factor, self.radius, dtype=self.dtype,
+                self.hdim, factor, self.radius,
+                lookup_impl=self.lookup_impl, dtype=self.dtype,
                 name="update",
             )((hidden, flow0, mask0), pyramid, grid, context)
             final_flow, final_mask = flow, mask
@@ -417,6 +496,7 @@ class RAFTFlowNet(nn.Module):
     radius: int = 4
     iters: int = 12
     unroll_iters: bool = False
+    lookup_impl: str = "gather"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -431,6 +511,7 @@ class RAFTFlowNet(nn.Module):
             radius=self.radius,
             iters=self.iters,
             unroll_iters=self.unroll_iters,
+            lookup_impl=self.lookup_impl,
             dtype=self.dtype,
         )(enc(im1), enc(im2))
 
@@ -450,16 +531,20 @@ class _ScanBody(nn.Module):
     upsample_factor: int
     radius: int
     mode: str = "flow"  # flow | stereo
+    lookup_impl: str = "gather"  # gather | onehot (identical math)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, carry, pyramid, grid, context):
         hidden, field, _ = carry
         if self.mode == "flow":
-            corr_feat = corr_lookup(pyramid, grid + field, self.radius)
+            corr_feat = corr_lookup(
+                pyramid, grid + field, self.radius, impl=self.lookup_impl
+            )
         else:
             corr_feat = corr_lookup_1d(
-                pyramid, grid - field[..., 0], self.radius
+                pyramid, grid - field[..., 0], self.radius,
+                impl=self.lookup_impl,
             )
         motion = MotionEncoder(dtype=self.dtype, name="motion")(
             corr_feat.astype(self.dtype), field.astype(self.dtype)
@@ -503,6 +588,7 @@ class RAFTStereoDecoder(nn.Module):
     radius: int = 4
     iters: int = 12
     unroll_iters: bool = False
+    lookup_impl: str = "gather"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -535,7 +621,8 @@ class RAFTStereoDecoder(nn.Module):
             disp = disp0
             for _ in range(self.iters):
                 corr_feat = corr_lookup_1d(
-                    pyramid, grid_x - disp[..., 0], self.radius
+                    pyramid, grid_x - disp[..., 0], self.radius,
+                    impl=self.lookup_impl,
                 )
                 hidden, delta, mask = update(hidden, corr_feat, disp, context)
                 disp = disp + delta
@@ -555,7 +642,8 @@ class RAFTStereoDecoder(nn.Module):
             mask0 = jnp.zeros((b, h, w, factor * factor * 9), self.dtype)
             (hidden, disp, mask), iterates = ScanUpdate(
                 self.hdim, factor, self.radius, mode="stereo",
-                dtype=self.dtype, name="update",
+                lookup_impl=self.lookup_impl, dtype=self.dtype,
+                name="update",
             )((hidden, disp0, mask0), pyramid, grid_x, context)
             final_disp, final_mask = disp, mask
 
@@ -579,6 +667,7 @@ class RAFTStereoNet(nn.Module):
     radius: int = 4
     iters: int = 12
     unroll_iters: bool = False
+    lookup_impl: str = "gather"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -593,6 +682,7 @@ class RAFTStereoNet(nn.Module):
             radius=self.radius,
             iters=self.iters,
             unroll_iters=self.unroll_iters,
+            lookup_impl=self.lookup_impl,
             dtype=self.dtype,
         )(enc(left), enc(right))
 
@@ -615,6 +705,7 @@ class CerberusRAFT(nn.Module):
     radius: int = 4
     iters: int = 12
     unroll_iters: bool = False
+    lookup_impl: str = "gather"
     fpn_channels: int = 96
     seg_head: str = "fpn"  # fpn | aspp
     dtype: jnp.dtype = jnp.float32
@@ -637,6 +728,7 @@ class CerberusRAFT(nn.Module):
             radius=self.radius,
             iters=self.iters,
             unroll_iters=self.unroll_iters,
+            lookup_impl=self.lookup_impl,
             dtype=self.dtype,
         )
         flow_out = RAFTFlowDecoder(**kw)(f_left, f_temporal)

@@ -56,6 +56,7 @@ class ModelConfig:
     raft_corr_levels: int = 4
     raft_level: int = 3  # operating resolution 1/2^level
     raft_unroll: bool = False  # unroll iterations instead of nn.scan
+    raft_lookup: str = "gather"  # gather | onehot volume lookup (raft.py)
 
     @property
     def jnp_dtype(self):

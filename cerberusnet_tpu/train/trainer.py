@@ -128,6 +128,7 @@ def build_model(cfg: ModelConfig):
             radius=cfg.raft_radius,
             iters=cfg.raft_iters,
             unroll_iters=cfg.raft_unroll,
+            lookup_impl=cfg.raft_lookup,
             dtype=cfg.jnp_dtype,
         )
 
@@ -148,6 +149,7 @@ def build_model(cfg: ModelConfig):
             radius=cfg.raft_radius,
             iters=cfg.raft_iters,
             unroll_iters=cfg.raft_unroll,
+            lookup_impl=cfg.raft_lookup,
             dtype=cfg.jnp_dtype,
         )
 
@@ -169,6 +171,7 @@ def build_model(cfg: ModelConfig):
             radius=cfg.raft_radius,
             iters=cfg.raft_iters,
             unroll_iters=cfg.raft_unroll,
+            lookup_impl=cfg.raft_lookup,
             fpn_channels=cfg.fpn_channels,
             seg_head=cfg.seg_head,
             dtype=cfg.jnp_dtype,

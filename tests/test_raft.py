@@ -593,3 +593,72 @@ class TestRAFTTrainer:
         comps = trainer.train_step(batch)
         assert np.isfinite(float(comps["total"]))
         assert "flow" in comps
+
+
+class TestOnehotLookup:
+    """lookup_impl='onehot' (gather-free two-matmul factorization, round 4)
+    must match the gather path bit-for-semantics at every coordinate regime,
+    including far out-of-bounds (where the window is fully masked)."""
+
+    def _pyr2d(self, rng, b=1, h=4, w=5, levels=3):
+        corr = jnp.array(rng.randn(b, h * w, h, w).astype(np.float32))
+        return correlation_pyramid(corr, levels), b, h, w
+
+    @pytest.mark.parametrize("spread", [2.5, 50.0])
+    def test_2d_matches_gather(self, spread):
+        rng = np.random.RandomState(7)
+        pyr, b, h, w = self._pyr2d(rng)
+        coords = jnp.array(
+            (np.asarray(base_grid(b, h, w))
+             + rng.uniform(-spread, spread, (b, h, w, 2))).astype(np.float32)
+        )
+        got = np.asarray(corr_lookup(pyr, coords, radius=2, impl="onehot"))
+        want = np.asarray(corr_lookup(pyr, coords, radius=2, impl="gather"))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_2d_integer_positions(self):
+        """Exact-integer sample positions (frac == 0) hit the equality-test
+        corner case of the interpolation matrix."""
+        rng = np.random.RandomState(8)
+        pyr, b, h, w = self._pyr2d(rng)
+        coords = base_grid(b, h, w)  # zero flow: all-integer positions
+        got = np.asarray(corr_lookup(pyr, coords, radius=1, impl="onehot"))
+        want = np.asarray(corr_lookup(pyr, coords, radius=1, impl="gather"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("spread", [2.5, 50.0])
+    def test_1d_matches_gather(self, spread):
+        rng = np.random.RandomState(9)
+        b, h, w = 1, 3, 6
+        corr = jnp.array(rng.randn(b, h * w, w).astype(np.float32))
+        pyr = correlation_pyramid_1d(corr, 3)
+        gx = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 2)
+        coords_x = gx + jnp.array(
+            rng.uniform(-spread, spread, (b, h, w)).astype(np.float32)
+        )
+        got = np.asarray(
+            corr_lookup_1d(pyr, coords_x, radius=3, impl="onehot")
+        )
+        want = np.asarray(
+            corr_lookup_1d(pyr, coords_x, radius=3, impl="gather")
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_model_forward_equal(self):
+        """Full RAFTFlowNet forward: onehot == gather under the same params
+        (the knob changes program structure only)."""
+        imgs = tuple(
+            jax.random.normal(jax.random.PRNGKey(i), (1, 32, 48, 3))
+            for i in range(2)
+        )
+        kw = dict(encoder_channels=(8, 12, 16), level=3, fdim=16, hdim=12,
+                  cdim=8, corr_levels=2, radius=2, iters=2)
+        m_g = RAFTFlowNet(lookup_impl="gather", **kw)
+        m_o = RAFTFlowNet(lookup_impl="onehot", **kw)
+        v = jax.jit(m_g.init)(jax.random.PRNGKey(0), *imgs)
+        og = jax.jit(m_g.apply)(v, *imgs)
+        oo = jax.jit(m_o.apply)(v, *imgs)
+        np.testing.assert_allclose(
+            np.asarray(oo["flow"]), np.asarray(og["flow"]),
+            rtol=1e-4, atol=1e-4,
+        )

@@ -21,18 +21,21 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-bench")
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def _build(name, iters, unroll, dtype, level=3):
+def _build(name, iters, unroll, dtype, level=3, lookup="gather"):
     from cerberusnet_tpu import models
 
     if name == "raftflow":
         return models.RAFTFlowNet(dtype=dtype, iters=iters, level=level,
-                                  unroll_iters=unroll), 2
+                                  unroll_iters=unroll,
+                                  lookup_impl=lookup), 2
     if name == "raftstereo":
         return models.RAFTStereoNet(dtype=dtype, iters=iters, level=level,
-                                    unroll_iters=unroll), 2
+                                    unroll_iters=unroll,
+                                    lookup_impl=lookup), 2
     if name == "cerberusraft":
         return models.CerberusRAFT(dtype=dtype, iters=iters, level=level,
-                                   unroll_iters=unroll), 3
+                                   unroll_iters=unroll,
+                                   lookup_impl=lookup), 3
     raise SystemExit(f"unknown model {name}")
 
 
@@ -50,6 +53,10 @@ def main():
                     "volume is ((H*W)/4^l)^2 — level 4 at 512x1024 is 16x "
                     "cheaper than level 3, the suspected r3 pathology")
     ap.add_argument("--two-point", type=int, nargs=2, default=(2, 8))
+    ap.add_argument("--lookup", default="gather",
+                    choices=("gather", "onehot"),
+                    help="volume lookup impl (models/raft.py corr_lookup; "
+                    "identical math, equality pinned in tests/test_raft.py)")
     args = ap.parse_args()
 
     import jax
@@ -80,7 +87,8 @@ def main():
 
 
 def _run_point(name, h, w, level, iters, args, jax, jnp, time_fn_two_point):
-    model, n_in = _build(name, iters, args.unroll, jnp.bfloat16, level=level)
+    model, n_in = _build(name, iters, args.unroll, jnp.bfloat16, level=level,
+                         lookup=args.lookup)
     imgs = tuple(
         jax.random.normal(jax.random.PRNGKey(i),
                           (args.batch, h, w, 3), jnp.bfloat16)
@@ -103,6 +111,7 @@ def _run_point(name, h, w, level, iters, args, jax, jnp, time_fn_two_point):
     print(json.dumps({
         "model": name, "iters": iters, "level": level,
         "mode": "unroll" if args.unroll else "scan",
+        "lookup": args.lookup,
         "batch": args.batch, "hw": [h, w],
         "ms_per_frame": round(sec * 1e3 / args.batch, 3),
         "fps_per_chip": round(args.batch / sec, 2),
