@@ -36,12 +36,15 @@ Tap algebra (XLA conventions; pinned by tests/test_pallas_encoder.py):
   stride-1 only, and value scatters (v.at[].set) don't lower at all, so
   out-of-image rows are zeroed through ref slice stores.
 
-Halos: the input strip for T output rows spans 2T+9 input rows, which
-overlapping BlockSpecs cannot express; the input stays in HBM (pl.ANY) and
-each program DMAs its clamped strip into VMEM scratch, zero-filling the
-out-of-range border rows (zero-fill is exactly the convs' SAME padding).
-Border rows of the y1/y2 scratches that correspond to out-of-image rows are
-explicitly zeroed (computing them would bake in leaky(bias) != 0).
+Halos: the input strip for T output rows spans 2T+10 input rows, which
+plain overlapping BlockSpecs cannot express and an in-kernel DMA cannot
+fetch (Mosaic rejects slicing an HBM memref to the non-tile-aligned 4C
+lane extent). So the overlapping strips are PRE-BUILT in XLA — one cheap
+pad + static slices + stack per call, a single extra HBM pass over a small
+input — with the convs' SAME padding (zero halo rows, zero right group
+column) baked in, and standard BlockSpec pipelining streams strip i to
+program i. Out-of-image rows of the y1/y2 scratch strips are explicitly
+zeroed (computing them would bake in leaky(bias) != 0).
 
 Backward: `encoder_level` carries a custom VJP whose backward recomputes the
 level with plain XLA convs and differentiates THAT (jax.vjp) — gradients are
@@ -130,33 +133,91 @@ def _dot(a2, k2):
     )
 
 
+# Mosaic cannot concatenate vector slices whose sublane offsets differ
+# ("result/input offset mismatch on non-concat dimension" — chain r4e
+# ab_penc), so the folded-operand assembly concat([v[:, 0:Wg], v[:, 1:Wg+1],
+# ...], -1) @ K is computed as the algebraically identical per-shift sum
+# sum_s v[:, s:s+Wg] @ K[s*L:(s+1)*L]. Result concats of freshly computed
+# dots keep matching zero offsets and remain fine.
+
+
+def _shift_dots(v, r0, nrows, wg, kf):
+    """sum_s dot(v[r0:r0+nrows, s:s+wg].flat, kf[s*L:(s+1)*L]); the shift
+    count is kf.shape[0] // v.shape[-1]."""
+    L = v.shape[-1]
+    acc = None
+    for s in range(kf.shape[0] // L):
+        a = v[r0 : r0 + nrows, s : s + wg, :].reshape(nrows * wg, L)
+        y = _dot(a, kf[s * L : (s + 1) * L])
+        acc = y if acc is None else acc + y
+    return acc
+
+
+def _entry_shift_dots(xs, ty, t_out, wg, kf):
+    """Entry-conv operand: stride-2 rows (even-window phase trick) x two
+    group shifts; kf = k1f[ty] with rows [0:4C | 4C:8C] per shift."""
+    c4 = xs.shape[-1]
+    acc = None
+    for s in (0, 1):
+        sub = jax.lax.slice(xs, (ty, s, 0), (ty + 2 * t_out, s + wg, c4))
+        ph = sub.reshape(t_out, 2, wg, c4)[:, 0].reshape(t_out * wg, c4)
+        y = _dot(ph, kf[s * c4 : (s + 1) * c4])
+        acc = y if acc is None else acc + y
+    return acc
+
+
+def _dot_t(a2, g2):
+    return jax.lax.dot_general(
+        a2, g2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _patch_dots_t(v, r0, nrows, wg, n_shift, gflat):
+    """Weight-grad patches: blocks_s = v[r0:r0+nrows, s:s+wg].flat^T @ g,
+    stacked along the kernel-row axis (fresh results — concat is safe)."""
+    L = v.shape[-1]
+    blocks = []
+    for s in range(n_shift):
+        a = v[r0 : r0 + nrows, s : s + wg, :].reshape(
+            nrows * wg, L).astype(jnp.float32)
+        blocks.append(_dot_t(a, gflat))
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _entry_patch_dots_t(xs, r0ty, t_out, wg, gflat):
+    """Entry-conv weight-grad patches (phase trick x two group shifts)."""
+    c4 = xs.shape[-1]
+    blocks = []
+    for s in (0, 1):
+        sub = jax.lax.slice(xs, (r0ty, s, 0), (r0ty + 2 * t_out, s + wg, c4))
+        ph = sub.reshape(t_out, 2, wg, c4)[:, 0].reshape(
+            t_out * wg, c4).astype(jnp.float32)
+        blocks.append(_dot_t(ph, gflat))
+    return jnp.concatenate(blocks, axis=0)  # (8C, N)
+
+
 def _level_kernel(
-    x_hbm, k1_ref, b1_ref, k2_ref, b2_ref, k3_ref, b3_ref, out_ref,
-    sx, y1, y2, sem,
-    *, T, H, Wg, C4, F2a, F2, n_tiles, out_dtype,
+    xb_ref, k1_ref, b1_ref, k2_ref, b2_ref, k3_ref, b3_ref, out_ref,
+    y1, y2,
+    *, T, Wg, F2a, F2, n_tiles, out_dtype,
 ):
     """One (batch, row-tile) program.
 
-    sx: [2T+9, Wg+1, C4]  input strip (4-fold view), right group + borders 0
+    xb_ref block: [1, 1, 2T+10, Wg+1, C4] — the pre-built overlapping input
+      strip for this tile (4-fold view, zero halo rows and right group
+      column baked in by the XLA-side pad+stack; standard BlockSpec
+      pipelining feeds it — a manual in-kernel DMA cannot slice the
+      12-lane HBM memref, Mosaic rejects non-tile-aligned slice extents).
     y1: [T+4, Wg+2, F2a]  level-entry output strip (2-fold, zero side cols)
     y2: [T+2, Wg+2, F2]   second conv output strip
     out_ref block: [1, T, Wg, F2]
-    """
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    # 2T+10 rows (even): stride-2 row selection is done by slicing an
-    # EVEN-length window and reshaping (rows, ...) -> (rows/2, 2, ...) then
-    # taking phase 0 — Mosaic's vector.extract_strided_slice only supports
-    # stride 1, so a direct stride-2 lax.slice fails to verify (chain r4e
-    # penc_smoke). The largest window is ty=2 + 2*t1 = 2T+10 rows.
-    sx_rows = 2 * T + 10
 
-    # ---- DMA the clamped input strip; zero borders where out of range.
-    # Absolute x rows wanted: [2iT-4, 2iT+2T+5). Interior tiles are fully
-    # in range; the first tile misses the top 4, the last the bottom 5.
-    @pl.when((i == 0) | (i == n_tiles - 1))
-    def _zero_borders():
-        sx[...] = jnp.zeros_like(sx)
+    Row-window notes: strip rows are EVEN (2T+10) so stride-2 row selection
+    slices an even-length window and phase-splits it (Mosaic's
+    vector.extract_strided_slice is stride-1 only).
+    """
+    i = pl.program_id(1)
 
     # zero side group-columns of the intermediate strips (they model the
     # convs' SAME padding; interior writes never touch them). Scratch
@@ -165,52 +226,16 @@ def _level_kernel(
     y1[:, Wg + 1 :, :] = jnp.zeros((y1.shape[0], 1, F2a), y1.dtype)
     y2[:, 0:1, :] = jnp.zeros((y2.shape[0], 1, F2), y2.dtype)
     y2[:, Wg + 1 :, :] = jnp.zeros((y2.shape[0], 1, F2), y2.dtype)
-    # the input strip's right zero group-column (the W-direction SAME pad)
-    sx[:, Wg : Wg + 1, :] = jnp.zeros((sx_rows, 1, C4), sx.dtype)
 
-    # static transfer sizes differ per boundary case; three @pl.when cases
-    start = i * (2 * T) - 4
-
-    def _copy(dst_off, src_off, nrows):
-        cp = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(src_off, nrows), :, :],
-            sx.at[pl.ds(dst_off, nrows), : Wg, :],
-            sem,
-        )
-        cp.start()
-        cp.wait()
-
-    only = n_tiles == 1
-    if only:
-        # single tile: H == 2T, rows [0, H)
-        _copy(4, 0, 2 * T)
-    else:
-        @pl.when(i == 0)
-        def _first():
-            _copy(4, 0, sx_rows - 4)
-
-        @pl.when(i == n_tiles - 1)
-        def _last():
-            _copy(0, start, sx_rows - 6)
-
-        @pl.when((i > 0) & (i < n_tiles - 1))
-        def _interior():
-            _copy(0, start, sx_rows)
-
-    xs = sx[...]  # [2T+9, Wg+1, C4]
+    xs = xb_ref[0, 0]  # [2T+10, Wg+1, C4]
 
     # ---- entry conv (stride 2 both dims) -> y1 rows [iT-2, iT+T+2)
     t1 = T + 4
-    opa = jnp.concatenate([xs[:, :Wg, :], xs[:, 1 : Wg + 1, :]], axis=-1)
     acc = jnp.broadcast_to(b1_ref[0].astype(jnp.float32), (t1, Wg, F2a))
     for ty in range(3):
-        # rows ty, ty+2, ..., ty+2(t1-1): even-length slice + phase select
-        # (stride-2 vector slices don't verify in Mosaic)
-        sub = jax.lax.slice(
-            opa, (ty, 0, 0), (ty + 2 * t1, Wg, opa.shape[-1])
-        ).reshape(t1, 2, Wg, opa.shape[-1])[:, 0]  # [t1, Wg, 8C]
-        flat = sub.reshape(t1 * Wg, sub.shape[-1])
-        acc = acc + _dot(flat, k1_ref[ty]).reshape(t1, Wg, F2a)
+        acc = acc + _entry_shift_dots(
+            xs, ty, t1, Wg, k1_ref[ty]
+        ).reshape(t1, Wg, F2a)
     v1 = leaky(acc)
     # zero out-of-image rows (rows abs < 0 or >= H/2). Mosaic has no
     # value-scatter (v.at[].set) — zero via ref slice stores instead.
@@ -236,14 +261,11 @@ def _level_kernel(
     # ---- conv2 (stride 1) -> y2 rows [iT-1, iT+T+1)
     t2 = T + 2
     ys1 = y1[...]
-    op2 = jnp.concatenate(
-        [ys1[:, 0:Wg, :], ys1[:, 1 : Wg + 1, :], ys1[:, 2 : Wg + 2, :]],
-        axis=-1,
-    )  # [t1, Wg, 6F1]
     acc = jnp.broadcast_to(b2_ref[0].astype(jnp.float32), (t2, Wg, F2))
     for dy in range(3):
-        flat = op2[dy : dy + t2].reshape(t2 * Wg, op2.shape[-1])
-        acc = acc + _dot(flat, k2_ref[dy]).reshape(t2, Wg, F2)
+        acc = acc + _shift_dots(
+            ys1, dy, t2, Wg, k2_ref[dy]
+        ).reshape(t2, Wg, F2)
     v2 = leaky(acc)
     if n_tiles == 1:
         y2[:, 1 : Wg + 1, :] = v2.astype(y2.dtype)
@@ -262,25 +284,27 @@ def _level_kernel(
 
     # ---- conv3 (stride 1) -> out rows [iT, iT+T)
     ys2 = y2[...]
-    op3 = jnp.concatenate(
-        [ys2[:, 0:Wg, :], ys2[:, 1 : Wg + 1, :], ys2[:, 2 : Wg + 2, :]],
-        axis=-1,
-    )
     acc = jnp.broadcast_to(b3_ref[0].astype(jnp.float32), (T, Wg, F2))
     for dy in range(3):
-        flat = op3[dy : dy + T].reshape(T * Wg, op3.shape[-1])
-        acc = acc + _dot(flat, k3_ref[dy]).reshape(T, Wg, F2)
+        acc = acc + _shift_dots(
+            ys2, dy, T, Wg, k3_ref[dy]
+        ).reshape(T, Wg, F2)
     out_ref[0] = leaky(acc).astype(out_dtype)
 
 
-def _pick_tile(h2):
-    """Largest divisor of H/2 that is <= 32 (rows per program). Falls back
-    to the largest divisor <= 32 for awkward extents (e.g. H/2=50 -> 25),
-    and to h2 itself only when h2 is prime-ish and small."""
-    for t in (32, 16, 8, 4):
-        if h2 % t == 0:
+def _pick_tile(h2, cap=16):
+    """Largest divisor of H/2 that is <= cap (rows per program). Falls back
+    to the largest divisor <= cap for awkward extents (e.g. H/2=50 -> 25),
+    and to h2 itself only when h2 is prime-ish and small.
+
+    cap=16: kernel VALUES are lane-padded vregs (a C4=12 lane dim pads to
+    128, 10.6x), so a 32-row tile's live set blows the 16 MB VMEM scoped
+    budget at the level-1 bench shape (measured: 18.2M at T=32, fits at
+    T=16)."""
+    for t in (cap, cap // 2, 4):
+        if t >= 1 and h2 % t == 0:
             return t
-    for t in range(min(32, h2), 0, -1):
+    for t in range(min(cap, h2), 0, -1):
         if h2 % t == 0:
             return t
     return h2
@@ -303,22 +327,38 @@ def _level_pallas_raw(x, k1, b1, k2, b2, k3, b3, *, interpret=None):
     k2f = _s1_kernel_fold(k2.astype(dt))
     k3f = _s1_kernel_fold(k3.astype(dt))
 
+    # Pre-build the overlapping input strips in XLA (one cheap pad + static
+    # slices — a single extra HBM pass over a small input). Tile i's strip
+    # covers absolute rows [2iT-4, 2iT+2T+6), with the convs' SAME padding
+    # (zero halo rows, zero right group column) baked in. An in-kernel DMA
+    # cannot do this: Mosaic rejects slicing an HBM memref to the
+    # non-tile-aligned 4C lane extent.
+    sx_rows = 2 * t + 10
+    xp = jnp.pad(x4, ((0, 0), (4, 6), (0, 1), (0, 0)))
+    strips = jnp.stack(
+        [
+            jax.lax.slice_in_dim(xp, 2 * i * t, 2 * i * t + sx_rows, axis=1)
+            for i in range(n_tiles)
+        ],
+        axis=1,
+    )  # (B, n_tiles, 2T+10, Wg+1, 4C)
+
     kernel = functools.partial(
         _level_kernel,
-        T=t, H=h, Wg=wg, C4=4 * c, F2a=2 * f, F2=2 * f,
+        T=t, Wg=wg, F2a=2 * f, F2=2 * f,
         n_tiles=n_tiles, out_dtype=dt,
     )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x4 stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # k1f
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # k2f
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b2
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # k3f
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b3
+            pl.BlockSpec(
+                (1, 1, sx_rows, wg + 1, 4 * c),
+                lambda bb, ii: (bb, ii, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            vspec, vspec, vspec, vspec, vspec, vspec,  # k1f b1 k2f b2 k3f b3
         ],
         out_specs=pl.BlockSpec(
             (1, t, wg, 2 * f), lambda bb, ii: (bb, ii, 0, 0),
@@ -326,14 +366,18 @@ def _level_pallas_raw(x, k1, b1, k2, b2, k3, b3, *, interpret=None):
         ),
         out_shape=jax.ShapeDtypeStruct((b, h2, wg, 2 * f), dt),
         scratch_shapes=[
-            pltpu.VMEM((2 * t + 10, wg + 1, 4 * c), dt),
             pltpu.VMEM((t + 4, wg + 2, 2 * f), dt),
             pltpu.VMEM((t + 2, wg + 2, 2 * f), dt),
-            pltpu.SemaphoreType.DMA,
         ],
+        # every program writes disjoint output blocks and recomputes its
+        # scratch from scratch: parallel semantics let Mosaic stream the
+        # blocks instead of holding whole outputs VMEM-resident
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         interpret=interpret,
     )(
-        x4,
+        strips,
         k1f, jnp.tile(b1.astype(dt), 2)[None],
         k2f, jnp.tile(b2.astype(dt), 2)[None],
         k3f, jnp.tile(b3.astype(dt), 2)[None],
@@ -437,83 +481,43 @@ def _mask(y):
 
 
 def _level_bwd_kernel(
-    x_hbm, y3_hbm, g_hbm,
+    xb_ref, y3b_ref, gb_ref,
     k1f_ref, k2f_ref, k3f_ref, b1_ref, b2_ref, b3_ref,
     kt2_ref, kt3_ref, e00_ref, e01_ref, e10_ref,
     dx_ref, dk1_ref, dk2_ref, dk3_ref, db1_ref, db2_ref, db3_ref,
-    sx, sy3, sg, y1s, y2s, g3s, g2s, g1s, sem,
-    *, T, Wg, C4, F2, n_tiles,
+    y1s, y2s, g3s, g2s, g1s,
+    *, T, Wg, F2, n_tiles,
 ):
+    """Strip blocks (built XLA-side like the forward — see _level_kernel):
+    xb  [1,1, 2T+14, Wg+1, C4]  x rows [2iT-6, 2iT+2T+8), zero halos/right col
+    y3b [1,1, T+6, Wg, F2]      y3 rows [iT-3, iT+T+3), zero halos
+    gb  [1,1, T+6, Wg, F2]      cotangent rows likewise.
+    2T+14 (even) so every stride-2 row selection can slice an even-length
+    window and phase-split it (see the forward kernel note): the largest
+    is the y1 recompute, ty=2 + 2*t6 = 2T+14 rows."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     t6 = T + 6
-    h2 = n_tiles * T
-    # 2T+14 (even) so every stride-2 row selection can slice an even-length
-    # window and phase-split it (see the forward kernel note): the largest
-    # is the y1 recompute, ty=2 + 2*t6 = 2T+14 rows.
-    sx_rows = 2 * T + 14
 
     first = i == 0
     last = i == n_tiles - 1
 
-    # ---- DMA x strip rows [2iT-6, 2iT+2T+7), y3/g strips rows [iT-3, iT+T+3)
-    @pl.when(first | last)
-    def _zb():
-        sx[...] = jnp.zeros_like(sx)
-        sy3[...] = jnp.zeros_like(sy3)
-        sg[...] = jnp.zeros_like(sg)
-
-    sx[:, Wg : Wg + 1, :] = jnp.zeros((sx_rows, 1, C4), sx.dtype)
     for ref, width in ((y1s, F2), (y2s, F2), (g3s, F2), (g1s, F2),
                        (g2s, F2)):
         ref[:, 0:1, :] = jnp.zeros((ref.shape[0], 1, width), ref.dtype)
         ref[:, Wg + 1 :, :] = jnp.zeros((ref.shape[0], 1, width), ref.dtype)
 
-    def _cp(hbm, dst, dst_off, src_off, nrows, cols):
-        cp = pltpu.make_async_copy(
-            hbm.at[b, pl.ds(src_off, nrows), :, :],
-            dst.at[pl.ds(dst_off, nrows), :cols, :],
-            sem,
-        )
-        cp.start()
-        cp.wait()
-
-    x_start = i * 2 * T - 6
-    r_start = i * T - 3
-    if n_tiles == 1:
-        _cp(x_hbm, sx, 6, 0, 2 * T, Wg)
-        _cp(y3_hbm, sy3, 3, 0, T, Wg)
-        _cp(g_hbm, sg, 3, 0, T, Wg)
-    else:
-        @pl.when(first)
-        def _f():
-            _cp(x_hbm, sx, 6, 0, sx_rows - 6, Wg)
-            _cp(y3_hbm, sy3, 3, 0, t6 - 3, Wg)
-            _cp(g_hbm, sg, 3, 0, t6 - 3, Wg)
-
-        @pl.when(last)
-        def _l():
-            _cp(x_hbm, sx, 0, x_start, sx_rows - 8, Wg)
-            _cp(y3_hbm, sy3, 0, r_start, t6 - 3, Wg)
-            _cp(g_hbm, sg, 0, r_start, t6 - 3, Wg)
-
-        @pl.when((~first) & (~last))
-        def _m():
-            _cp(x_hbm, sx, 0, x_start, sx_rows, Wg)
-            _cp(y3_hbm, sy3, 0, r_start, t6, Wg)
-            _cp(g_hbm, sg, 0, r_start, t6, Wg)
-
-    xs = sx[...]
+    xs = xb_ref[0, 0]
+    sy3 = y3b_ref[0, 0]
+    sg = gb_ref[0, 0]
+    C4 = xs.shape[-1]
 
     # ---- recompute y1 rows [iT-3, iT+T+3) (local 0..t6)
-    opa = jnp.concatenate([xs[:, :Wg, :], xs[:, 1 : Wg + 1, :]], axis=-1)
     acc = jnp.broadcast_to(b1_ref[0].astype(jnp.float32), (t6, Wg, F2))
     for ty in range(3):
-        rows = jax.lax.slice(
-            opa, (ty, 0, 0), (ty + 2 * t6, Wg, opa.shape[-1])
-        ).reshape(t6, 2, Wg, opa.shape[-1])[:, 0]
-        acc = acc + _dot(rows.reshape(t6 * Wg, -1), k1f_ref[ty]).reshape(
-            t6, Wg, F2)
+        acc = acc + _entry_shift_dots(
+            xs, ty, t6, Wg, k1f_ref[ty]
+        ).reshape(t6, Wg, F2)
     v1 = leaky(acc)
     # zero out-of-image rows: local row l is abs r_start + l (ref slice
     # stores — Mosaic has no value-scatter)
@@ -534,14 +538,11 @@ def _level_bwd_kernel(
 
     # ---- recompute y2 rows [iT-2, iT+T+2) (local 1..t6-1)
     ys1 = y1s[...]
-    op2 = jnp.concatenate(
-        [ys1[:, 0:Wg, :], ys1[:, 1 : Wg + 1, :], ys1[:, 2 : Wg + 2, :]], -1
-    )
     t2n = t6 - 2
     acc = jnp.broadcast_to(b2_ref[0].astype(jnp.float32), (t2n, Wg, F2))
     for dy in range(3):
-        acc = acc + _dot(
-            op2[dy : dy + t2n].reshape(t2n * Wg, -1), k2f_ref[dy]
+        acc = acc + _shift_dots(
+            ys1, dy, t2n, Wg, k2f_ref[dy]
         ).reshape(t2n, Wg, F2)
     v2 = leaky(acc)
     if n_tiles == 1:
@@ -566,39 +567,26 @@ def _level_bwd_kernel(
             y2s[T + 3 :, 1 : Wg + 1, :] = jnp.zeros((3, Wg, F2), y2s.dtype)
 
     # ---- g3 = g * mask(y3), all t6 rows (OOB rows are zero via sg/sy3)
-    g3 = sg[...].astype(jnp.float32) * _mask(sy3[...].astype(jnp.float32))
+    g3 = sg.astype(jnp.float32) * _mask(sy3.astype(jnp.float32))
     g3s[:, 1 : Wg + 1, :] = g3[:, :Wg, :].astype(g3s.dtype)
 
     # ---- db3, dw3 from OWNED rows (local 3..3+T)
     own_g3 = g3[3 : 3 + T, :Wg, :]
     db3 = jnp.sum(own_g3, axis=(0, 1))  # [2F]
-    # dw3[dy] = op3_patches(y2 rows owned+dy)^T @ own_g3
+    # dw3[dy] = y2-patch(owned rows + dy)^T @ own_g3, per group shift
     ys2 = y2s[...]
-    op3 = jnp.concatenate(
-        [ys2[:, 0:Wg, :], ys2[:, 1 : Wg + 1, :], ys2[:, 2 : Wg + 2, :]], -1
-    )
     g3flat = own_g3.reshape(T * Wg, F2)
-    dk3_rows = []
-    for dy in range(3):
-        pat = op3[2 + dy : 2 + dy + T].reshape(T * Wg, -1).astype(jnp.float32)
-        dk3_rows.append(
-            jax.lax.dot_general(
-                pat, g3flat, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        )
-    dk3_tile = jnp.stack(dk3_rows)  # [3, 6F, 2F]
+    dk3_tile = jnp.stack([
+        _patch_dots_t(ys2, 2 + dy, T, Wg, 3, g3flat) for dy in range(3)
+    ])  # [3, 6F, 2F]
 
     # ---- dy2 rows [iT-2, iT+T+1): transposed conv of g3 (kernel kt3)
     gs3 = g3s[...]
-    opg3 = jnp.concatenate(
-        [gs3[:, 0:Wg, :], gs3[:, 1 : Wg + 1, :], gs3[:, 2 : Wg + 2, :]], -1
-    )
     tn = t6 - 2  # rows [iT-2, iT+T+2)
     acc = jnp.zeros((tn, Wg, F2), jnp.float32)
     for dy in range(3):
-        acc = acc + _dot(
-            opg3[dy : dy + tn].reshape(tn * Wg, -1), kt3_ref[dy]
+        acc = acc + _shift_dots(
+            gs3, dy, tn, Wg, kt3_ref[dy]
         ).reshape(tn, Wg, F2)
     # g2 = dy2 * mask(y2): y2s local rows 1..t6-1 = abs [iT-2, ...] match
     g2 = acc * _mask(ys2[1 : 1 + tn, 1 : Wg + 1, :].astype(jnp.float32))
@@ -623,27 +611,17 @@ def _level_bwd_kernel(
     own_g2 = g2s[3 : 3 + T, 1 : Wg + 1, :].astype(jnp.float32)
     db2 = jnp.sum(own_g2, axis=(0, 1))
     g2flat = own_g2.reshape(T * Wg, F2)
-    dk2_rows = []
-    for dy in range(3):
-        pat = op2[2 + dy : 2 + dy + T].reshape(T * Wg, -1).astype(jnp.float32)
-        dk2_rows.append(
-            jax.lax.dot_general(
-                pat, g2flat, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        )
-    dk2_tile = jnp.stack(dk2_rows)
+    dk2_tile = jnp.stack([
+        _patch_dots_t(ys1, 2 + dy, T, Wg, 3, g2flat) for dy in range(3)
+    ])
 
     # ---- dy1 rows [iT-1, iT+T): transposed conv of g2 (kernel kt2)
     gs2 = g2s[...]
-    opg2 = jnp.concatenate(
-        [gs2[:, 0:Wg, :], gs2[:, 1 : Wg + 1, :], gs2[:, 2 : Wg + 2, :]], -1
-    )
     tm = T + 1
     acc = jnp.zeros((tm, Wg, F2), jnp.float32)
     for dy in range(3):
-        acc = acc + _dot(
-            opg2[1 + dy : 1 + dy + tm].reshape(tm * Wg, -1), kt2_ref[dy]
+        acc = acc + _shift_dots(
+            gs2, 1 + dy, tm, Wg, kt2_ref[dy]
         ).reshape(tm, Wg, F2)
     # g1 = dy1 * mask(y1): y1s local rows for abs [iT-1, iT+T) = 2..2+tm
     g1 = acc * _mask(ys1[2 : 2 + tm, 1 : Wg + 1, :].astype(jnp.float32))
@@ -665,26 +643,14 @@ def _level_bwd_kernel(
     own_g1 = g1s[3 : 3 + T, 1 : Wg + 1, :].astype(jnp.float32)
     db1 = jnp.sum(own_g1, axis=(0, 1))
     g1flat = own_g1.reshape(T * Wg, F2)
-    dk1_rows = []
-    for ty in range(3):
-        # entry patches of x at owned rows: y1 row p=iT+j reads x rows
-        # 2p+ty -> local x row 2(p - (iT-3)) + ty - 6 + ... x local base is
-        # 2iT-6, so x row 2p+ty = local 2(p-iT)+6+ty; owned p: iT..iT+T
-        rows = jax.lax.slice(
-            opa, (6 + ty, 0, 0), (6 + ty + 2 * T, Wg, opa.shape[-1])
-        ).reshape(T, 2, Wg, opa.shape[-1])[:, 0]
-        pat = rows.reshape(T * Wg, -1).astype(jnp.float32)
-        dk1_rows.append(
-            jax.lax.dot_general(
-                pat, g1flat, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        )
-    dk1_tile = jnp.stack(dk1_rows)  # [3, 8C, 2F]
+    # entry patches of x at owned rows: y1 row p=iT+j reads x rows 2p+ty;
+    # x local base is 2iT-6, so x row 2p+ty = local 2(p-iT)+6+ty
+    dk1_tile = jnp.stack([
+        _entry_patch_dots_t(xs, 6 + ty, T, Wg, g1flat) for ty in range(3)
+    ])  # [3, 8C, 2F]
 
     # ---- dx rows [2iT, 2iT+2T) as phase slabs [T, 2, Wg, 4C]
     gs1 = g1s[...]
-    opg1 = jnp.concatenate([gs1[:, 0:Wg, :], gs1[:, 1 : Wg + 1, :]], -1)
     # g1 local row for abs q is q - (iT-3); owned q rows local 3..3+T
     slabs = []
     for e in (0, 1):
@@ -692,33 +658,22 @@ def _level_bwd_kernel(
         for d in ((0, 1) if e == 0 else (0,)):
             ref = e00_ref if (e, d) == (0, 0) else (
                 e01_ref if (e, d) == (0, 1) else e10_ref)
-            acc = acc + _dot(
-                opg1[3 - d : 3 - d + T].reshape(T * Wg, -1), ref[...]
+            acc = acc + _shift_dots(
+                gs1, 3 - d, T, Wg, ref[...]
             ).reshape(T, Wg, C4)
         slabs.append(acc)
     dx = jnp.stack(slabs, axis=1)  # [T, 2, Wg, 4C]
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
-    # ---- accumulate dw/db into the resident output blocks
-    is_first_prog = (b == 0) & (i == 0)
-
-    @pl.when(is_first_prog)
-    def _init():
-        dk1_ref[...] = dk1_tile
-        dk2_ref[...] = dk2_tile
-        dk3_ref[...] = dk3_tile
-        db1_ref[0] = db1
-        db2_ref[0] = db2
-        db3_ref[0] = db3
-
-    @pl.when(~is_first_prog)
-    def _accum():
-        dk1_ref[...] = dk1_ref[...] + dk1_tile
-        dk2_ref[...] = dk2_ref[...] + dk2_tile
-        dk3_ref[...] = dk3_ref[...] + dk3_tile
-        db1_ref[0] = db1_ref[0] + db1
-        db2_ref[0] = db2_ref[0] + db2
-        db3_ref[0] = db3_ref[0] + db3
+    # ---- per-tile dw/db output blocks, summed XLA-side (grid-resident
+    # VMEM accumulator blocks held the whole output in VMEM for the call's
+    # duration and blew the 16 MB scoped budget at batch 3)
+    dk1_ref[0, 0] = dk1_tile
+    dk2_ref[0, 0] = dk2_tile
+    dk3_ref[0, 0] = dk3_tile
+    db1_ref[0, 0] = db1[None]
+    db2_ref[0, 0] = db2[None]
+    db3_ref[0, 0] = db3[None]
 
 
 def _level_pallas_bwd(x, y3, g, k1, b1, k2, b2, k3, b3, *, interpret=None):
@@ -728,7 +683,11 @@ def _level_pallas_bwd(x, y3, g, k1, b1, k2, b2, k3, b3, *, interpret=None):
     b, h, w, c = x.shape
     f = k1.shape[-1]
     h2, wg = h // 2, w // 4
-    t = _pick_tile(h2)
+    # The reverse sweep holds ~3x the forward's live set (recomputed
+    # activations + three cotangent strips): cap=4 keeps the scoped-VMEM
+    # stack under the 16 MB budget at the bench shapes (T=16 and T=8
+    # both measured OOM at level 1 b3).
+    t = _pick_tile(h2, cap=4)
     n_tiles = h2 // t
     dt = x.dtype
 
@@ -744,58 +703,101 @@ def _level_pallas_bwd(x, y3, g, k1, b1, k2, b2, k3, b3, *, interpret=None):
 
     kernel = functools.partial(
         _level_bwd_kernel,
-        T=t, Wg=wg, C4=4 * c, F2=2 * f, n_tiles=n_tiles,
+        T=t, Wg=wg, F2=2 * f, n_tiles=n_tiles,
     )
     t6 = t + 6
+    # pre-built overlapping strips (see _level_pallas_raw): x rows
+    # [2iT-6, 2iT+2T+8) with the zero right group column; y3/g rows
+    # [iT-3, iT+T+3)
+    sx_rows = 2 * t + 14
+
+    def _strips(arr, pad_top, pad_bot, rows, stride, pad_col):
+        ap = jnp.pad(
+            arr, ((0, 0), (pad_top, pad_bot), (0, pad_col), (0, 0))
+        )
+        return jnp.stack(
+            [
+                jax.lax.slice_in_dim(ap, i * stride, i * stride + rows,
+                                     axis=1)
+                for i in range(n_tiles)
+            ],
+            axis=1,
+        )
+
+    xstr = _strips(x4, 6, 8, sx_rows, 2 * t, 1)
+    y3str = _strips(y3v, 3, 3, t6, t, 0)
+    gstr = _strips(gv, 3, 3, t6, t, 0)
+
+    def _strip_spec(rows, cols, ch):
+        return pl.BlockSpec(
+            (1, 1, rows, cols, ch), lambda bb, ii: (bb, ii, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    full = lambda *s: pl.BlockSpec(s, lambda bb, ii: (0,) * len(s),
-                                   memory_space=pltpu.VMEM)
+
+    def _tile_out(*s):
+        return pl.BlockSpec(
+            (1, 1) + s, lambda bb, ii: (bb, ii) + (0,) * len(s),
+            memory_space=pltpu.VMEM,
+        )
+
     outs = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 + [vspec] * 11,
+        in_specs=[
+            _strip_spec(sx_rows, wg + 1, 4 * c),
+            _strip_spec(t6, wg, 2 * f),
+            _strip_spec(t6, wg, 2 * f),
+        ]
+        + [vspec] * 11,
         out_specs=(
             pl.BlockSpec((1, t, 2, wg, 4 * c),
                          lambda bb, ii: (bb, ii, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            full(3, 8 * c, 2 * f),
-            full(3, 6 * f, 2 * f),
-            full(3, 6 * f, 2 * f),
-            full(1, 2 * f),
-            full(1, 2 * f),
-            full(1, 2 * f),
+            _tile_out(3, 8 * c, 2 * f),
+            _tile_out(3, 6 * f, 2 * f),
+            _tile_out(3, 6 * f, 2 * f),
+            _tile_out(1, 2 * f),
+            _tile_out(1, 2 * f),
+            _tile_out(1, 2 * f),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, h2, 2, wg, 4 * c), dt),
-            jax.ShapeDtypeStruct((3, 8 * c, 2 * f), jnp.float32),
-            jax.ShapeDtypeStruct((3, 6 * f, 2 * f), jnp.float32),
-            jax.ShapeDtypeStruct((3, 6 * f, 2 * f), jnp.float32),
-            jax.ShapeDtypeStruct((1, 2 * f), jnp.float32),
-            jax.ShapeDtypeStruct((1, 2 * f), jnp.float32),
-            jax.ShapeDtypeStruct((1, 2 * f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_tiles, 3, 8 * c, 2 * f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_tiles, 3, 6 * f, 2 * f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_tiles, 3, 6 * f, 2 * f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_tiles, 1, 2 * f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_tiles, 1, 2 * f), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_tiles, 1, 2 * f), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * t + 14, wg + 1, 4 * c), dt),
-            pltpu.VMEM((t6, wg, 2 * f), dt),      # y3 strip
-            pltpu.VMEM((t6, wg, 2 * f), dt),      # g strip
             pltpu.VMEM((t6, wg + 2, 2 * f), dt),  # y1
             pltpu.VMEM((t6, wg + 2, 2 * f), dt),  # y2
             pltpu.VMEM((t6, wg + 2, 2 * f), dt),  # g3
             pltpu.VMEM((t6, wg + 2, 2 * f), dt),  # g2
             pltpu.VMEM((t6, wg + 2, 2 * f), dt),  # g1
-            pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         interpret=interpret,
     )(
-        x4, y3v, gv,
+        xstr, y3str, gstr,
         k1f, k2f, k3f,
         jnp.tile(b1.astype(dt), 2)[None],
         jnp.tile(b2.astype(dt), 2)[None],
         jnp.tile(b3.astype(dt), 2)[None],
         kt2, kt3, e00, e01, e10,
     )
-    dxv, dk1f, dk2f, dk3f, db1f, db2f, db3f = outs
+    dxv, dk1t, dk2t, dk3t, db1t, db2t, db3t = outs
     dx = dxv.reshape(b, h, wg, 4 * c).reshape(b, h, w, c)
+    dk1f = dk1t.sum(axis=(0, 1))
+    dk2f = dk2t.sum(axis=(0, 1))
+    dk3f = dk3t.sum(axis=(0, 1))
+    db1f = db1t.sum(axis=(0, 1))
+    db2f = db2t.sum(axis=(0, 1))
+    db3f = db3t.sum(axis=(0, 1))
     dk1 = _entry_kernel_unfold(dk1f, c, f).astype(k1.dtype)
     dk2 = _s1_kernel_unfold(dk2f, f, f).astype(k2.dtype)
     dk3 = _s1_kernel_unfold(dk3f, f, f).astype(k3.dtype)
@@ -831,8 +833,24 @@ def _enc_fwd(x, k1, b1, k2, b2, k3, b3, interpret, grad):
     return out, res
 
 
+def _bwd_fits_vmem(x):
+    """Conservative scoped-VMEM fit test for the reverse-sweep kernel.
+
+    Kernel values are lane-padded vregs: a C4-lane value costs
+    ceil(128/C4)x its logical size, and the (Wg+1)-sublane width does not
+    shrink with the row tile. Measured on the v5e AOT compiler: level-1
+    at Wg=256 (C4=12, waste 10x) OOMs the 16 MB scoped budget for any
+    batch > 1; Wg=128 at the same C4 fits through batch 6, as do all
+    C4>=64 levels. Falling back costs only the XLA-recompute gradient for
+    that level."""
+    b, h, w, c = x.shape
+    wg, c4 = w // 4, 4 * c
+    waste = max(1, 128 // c4)
+    return wg * waste <= 1400 or (b == 1 and wg * waste <= 2600)
+
+
 def _enc_bwd(interpret, grad, res, g):
-    if grad == "pallas":
+    if grad == "pallas" and _bwd_fits_vmem(res[0]):
         # Whole-level reverse sweep in one Pallas program (dx+dw+db): the
         # train-step frontier — no lhs-dilated convs, no small-channel
         # relayouts, leaky masks from the recomputed VMEM intermediates.
@@ -840,6 +858,8 @@ def _enc_bwd(interpret, grad, res, g):
         return _level_pallas_bwd(
             x, y3, g, k1, b1, k2, b2, k3, b3, interpret=interpret
         )
+    if grad == "pallas":
+        res = res[:7]  # drop the saved y3; the xla path recomputes
     # grad == "xla": gradients of the XLA formulation (identical math):
     # recompute the three cheap convs and pull back through them. Costs one
     # extra level forward in the backward; the inference path never runs it.
