@@ -411,7 +411,7 @@ class RAFTFlowDecoder(nn.Module):
     radius: int = 4
     iters: int = 12
     unroll_iters: bool = False  # perf knob: unroll instead of nn.scan
-    lookup_impl: str = "gather"  # gather | onehot volume lookup
+    lookup_impl: str = "onehot"  # onehot | gather volume lookup (onehot raced 12-58x faster, chain r4f)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -496,7 +496,7 @@ class RAFTFlowNet(nn.Module):
     radius: int = 4
     iters: int = 12
     unroll_iters: bool = False
-    lookup_impl: str = "gather"
+    lookup_impl: str = "onehot"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -531,7 +531,7 @@ class _ScanBody(nn.Module):
     upsample_factor: int
     radius: int
     mode: str = "flow"  # flow | stereo
-    lookup_impl: str = "gather"  # gather | onehot (identical math)
+    lookup_impl: str = "onehot"  # onehot | gather (identical math)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -588,7 +588,7 @@ class RAFTStereoDecoder(nn.Module):
     radius: int = 4
     iters: int = 12
     unroll_iters: bool = False
-    lookup_impl: str = "gather"
+    lookup_impl: str = "onehot"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -667,7 +667,7 @@ class RAFTStereoNet(nn.Module):
     radius: int = 4
     iters: int = 12
     unroll_iters: bool = False
-    lookup_impl: str = "gather"
+    lookup_impl: str = "onehot"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -705,7 +705,7 @@ class CerberusRAFT(nn.Module):
     radius: int = 4
     iters: int = 12
     unroll_iters: bool = False
-    lookup_impl: str = "gather"
+    lookup_impl: str = "onehot"
     fpn_channels: int = 96
     seg_head: str = "fpn"  # fpn | aspp
     dtype: jnp.dtype = jnp.float32

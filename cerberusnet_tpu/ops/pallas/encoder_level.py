@@ -127,6 +127,13 @@ def _s1_kernel_fold(k):
 
 
 def _dot(a2, k2):
+    # NOTE on f32 inputs: the MXU rounds f32 matmul operands to bf16 at
+    # default precision, so the f32 kernel path differs from XLA's conv by
+    # ~1e-3 relative (r4g smoke measured 6.6e-4 at the level-2 shape).
+    # Mosaic rejects Precision.HIGH and the HIGHEST 6-pass decomposition
+    # blows the scoped-VMEM budget, so this is documented rather than
+    # fixed: the production path is bf16 end-to-end, where default
+    # precision is exact-by-construction.
     return jax.lax.dot_general(
         a2, k2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

@@ -56,7 +56,7 @@ class ModelConfig:
     raft_corr_levels: int = 4
     raft_level: int = 3  # operating resolution 1/2^level
     raft_unroll: bool = False  # unroll iterations instead of nn.scan
-    raft_lookup: str = "gather"  # gather | onehot volume lookup (raft.py)
+    raft_lookup: str = "onehot"  # onehot | gather volume lookup (raft.py; onehot promoted after the 12-58x r4f race)
 
     @property
     def jnp_dtype(self):

@@ -33,10 +33,14 @@ def main():
     failures = 0
 
     # --- 1. raw kernel, small shapes, f32 + bf16
+    # f32 tolerances are 2e-3, not ~1e-5: the MXU rounds f32 matmul
+    # operands to bf16 at the only precision Mosaic supports, so the f32
+    # kernel path carries ~1e-3 relative error vs XLA's conv (see
+    # encoder_level._dot; the production bf16 path has no such gap).
     for (b, h, w, c, f, dt, tol) in [
-        (1, 32, 64, 3, 16, jnp.float32, 3e-5),
-        (2, 64, 128, 3, 16, jnp.float32, 3e-5),
-        (1, 256, 512, 16, 32, jnp.float32, 3e-4),
+        (1, 32, 64, 3, 16, jnp.float32, 2e-3),
+        (2, 64, 128, 3, 16, jnp.float32, 2e-3),
+        (1, 256, 512, 16, 32, jnp.float32, 2e-3),
         (1, 512, 1024, 3, 16, jnp.bfloat16, 0.1),
     ]:
         ks = jax.random.split(jax.random.PRNGKey(b * h + w), 7)

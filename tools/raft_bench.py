@@ -53,7 +53,7 @@ def main():
                     "volume is ((H*W)/4^l)^2 — level 4 at 512x1024 is 16x "
                     "cheaper than level 3, the suspected r3 pathology")
     ap.add_argument("--two-point", type=int, nargs=2, default=(2, 8))
-    ap.add_argument("--lookup", default="gather",
+    ap.add_argument("--lookup", default="onehot",
                     choices=("gather", "onehot"),
                     help="volume lookup impl (models/raft.py corr_lookup; "
                     "identical math, equality pinned in tests/test_raft.py)")
