@@ -166,6 +166,36 @@ def bench_raft(batch=1, hw=(256, 512), iters=6, raft_iters=12, level=3):
     return batch / sec
 
 
+def bench_cerberus_raft(batch=1, hw=(256, 512), iters=6, raft_iters=6,
+                        level=3):
+    """Joint 3-head CerberusRAFT at its operating point (256x512, 1/8-res
+    latent, 6 refinement iterations) with the gather-free onehot lookup
+    (default since the r4f race: 45x over the gather path — BASELINE.md
+    round-4 table). All three heads consumed; two-point slope."""
+    from cerberusnet_tpu.models import CerberusRAFT
+
+    model = CerberusRAFT(dtype=jnp.bfloat16, iters=raft_iters, level=level)
+    h, w = hw
+    imgs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (batch, h, w, 3), jnp.bfloat16)
+        for i in range(3)
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
+
+    def forward(left, right, temporal):
+        return model.apply(variables, left, right, temporal)
+
+    def reduce_out(out):
+        return (
+            out["flow"].astype(jnp.float32).mean()
+            + out["disp"].astype(jnp.float32).mean()
+            + out["seg_logits"].astype(jnp.float32).mean()
+        )
+
+    sec = _loop_time(forward, imgs, iters, reduce_out)
+    return batch / sec
+
+
 def bench_train_step(batch=2, hw=(512, 1024), iters=5, flatten=False,
                      model_kw=()):
     """[BASELINE:L11] config 5: end-to-end multi-task train step (joint loss,
@@ -423,6 +453,9 @@ def main():
             # the key name carries the point so the row can't be read as a
             # 512x1024 number
             "raft_bf16_256x512_fps": lambda: bench_raft(batch=args.batch),
+            "cerberus_raft_bf16_256x512_6it_fps": lambda: bench_cerberus_raft(
+                batch=args.batch
+            ),
             "train_step_bf16_fps": lambda: bench_train_step(
                 batch=max(args.batch, 2), flatten=True  # trainer default (r3e A/B)
             ),
