@@ -782,7 +782,10 @@ class Trainer:
         if "flow" in out:
             panel_inputs["flow"] = out["flow"][0]
         if "disp" in out:
-            panel_inputs["disp"] = out["disp"][0, ..., 0]
+            d = np.asarray(out["disp"][0])
+            # CerberusNet-family disp is (H, W, 1); the RAFT decoders emit
+            # (H, W) (chain r4g raft_evidence panel crash)
+            panel_inputs["disp"] = d[..., 0] if d.ndim == 3 else d
         panel_path = os.path.join(out_dir, f"{name}_panel.png")
         data_io.write_image_u8(panel_path, vis.summary_panel(panel_inputs))
         return made + [panel_path]
@@ -967,7 +970,8 @@ class Trainer:
         if "flow" in out:
             panel_inputs["flow"] = np.asarray(out["flow"][0])
         if "disp" in out:
-            panel_inputs["disp"] = np.asarray(out["disp"][0, ..., 0])
+            d = np.asarray(out["disp"][0])
+            panel_inputs["disp"] = d[..., 0] if d.ndim == 3 else d
         return vis.summary_panel(panel_inputs)
 
     def dump_visualization(self, path: str):

@@ -662,3 +662,41 @@ class TestOnehotLookup:
             np.asarray(oo["flow"]), np.asarray(og["flow"]),
             rtol=1e-4, atol=1e-4,
         )
+
+
+class TestRAFTVisualization:
+    def test_panel_renders_with_3d_disp(self, tmp_path):
+        """The RAFT decoders emit disp as (B, H, W) — not the
+        CerberusNet-family (B, H, W, 1) — and the eval panel must handle
+        both (chain r4g raft_evidence crashed in render_panel)."""
+        from cerberusnet_tpu.train.config import (
+            DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
+        )
+        from cerberusnet_tpu.train.trainer import Trainer
+
+        cfg = ExperimentConfig(
+            name="raftpanel",
+            model=ModelConfig(
+                variant="cerberus_raft",
+                encoder_channels=(8, 12, 16, 16, 16, 16),
+                num_classes=5,
+                raft_level=3,
+                raft_fdim=16,
+                raft_hdim=12,
+                raft_cdim=8,
+                raft_corr_levels=2,
+                raft_radius=2,
+                raft_iters=2,
+                fpn_channels=16,
+            ),
+            data=DataConfig(
+                dataset="synthetic", hw=(64, 64), batch_size=1,
+                num_workers=1, synthetic_length=1, shuffle=False,
+            ),
+            train=TrainConfig(epochs=1, log_every=1000, num_data_devices=1),
+        )
+        tr = Trainer(cfg)
+        out = tr.dump_visualization(str(tmp_path / "panel.png"))
+        import os
+
+        assert os.path.exists(out)
