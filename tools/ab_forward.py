@@ -159,11 +159,14 @@ def variant_sets():
             "base": dict(),
         },
         # up-feat ConvTranspose formulations (VERDICT r1 item 2: suspected
-        # source of the layout copies; subpixel = stride-1 conv + d2s)
+        # source of the layout copies; subpixel = stride-1 conv + d2s).
+        # SUBPIXEL IS THE DEFAULT since the r3 promotion, so base==subpixel
+        # and the rollback arm must name convt explicitly (the r4i
+        # confirmation run raced base vs itself — 10.31 vs 10.45 ms, pure
+        # same-program noise — before this was caught).
         "upfeat": {
-            "convt (base)": dict(),
-            "subpixel": dict(upfeat_impl="subpixel"),
-            "subpixel+s2d": dict(upfeat_impl="subpixel", s2d_stem=True),
+            "subpixel (base)": dict(),
+            "convt": dict(upfeat_impl="convt"),
         },
         # bilinear-2x lowering (round 3): jax.image.resize lowers the spatial
         # interpolation as per-dim dense matmuls that need the spatial dim
@@ -443,8 +446,14 @@ def main():
             continue
         effect = base_med - meds[name]  # >0: variant faster
         spread = max(max(ts) - min(ts), base_spread)
-        verdict = ("PROMOTABLE" if abs(effect) > spread
-                   else "within variance")
+        # direction-aware: a significant LOSS must not print PROMOTABLE
+        # (the r4i upfeat run labelled a 21% regression that way)
+        if abs(effect) <= spread:
+            verdict = "within variance"
+        elif effect > 0:
+            verdict = "PROMOTABLE (faster)"
+        else:
+            verdict = "SIGNIFICANT LOSS (slower)"
         print(f"[gate] {name}: effect {effect * 1e3:+.3f} ms/frame "
               f"({effect / base_med * 100:+.1f}%) vs max same-arm spread "
               f"{spread * 1e3:.3f} ms -> {verdict}")
