@@ -50,8 +50,9 @@ def main():
                     help="single resolution (overrides the default sweep)")
     ap.add_argument("--levels", type=int, nargs="*", default=(3, 4),
                     help="operating levels (1/2^l res): the all-pairs "
-                    "volume is ((H*W)/4^l)^2 — level 4 at 512x1024 is 16x "
-                    "cheaper than level 3, the suspected r3 pathology")
+                    "volume is ((H*W)/4^l)^2. (The r3 'pathology' at "
+                    "512x1024/level 3 was the scalar-gather lookup, fixed "
+                    "by the onehot default: 0.69 -> 36.1 fps, chain r4m)")
     ap.add_argument("--two-point", type=int, nargs=2, default=(2, 8))
     ap.add_argument("--lookup", default="onehot",
                     choices=("gather", "onehot"),
