@@ -33,24 +33,40 @@ import jax
 import jax.numpy as jnp
 
 
-def _loop_time(fn, args, iters, reduce_out):
-    """Seconds per call of fn(*args), honest on this async remote backend:
-    floor-cancelling two-point unroll differencing (see the benchutil
-    docstring; tools/timing_diag.py validated wall time as affine in the
-    unroll count, so the slope is the true streaming cost per frame).
+def _loop_time(fn, args, iters, reduce_out, rounds=3):
+    """Per-round seconds/call of fn(*args) (list of ``rounds`` slopes),
+    honest on this async remote backend: floor-cancelling two-point unroll
+    differencing (see the benchutil docstring; tools/timing_diag.py
+    validated wall time as affine in the unroll count, so the slope is the
+    true streaming cost per frame). Three rounds per row give committed
+    numbers a spread column (VERDICT r4 item 9: no single-snapshot fps row
+    in committed artifacts — the backend's day-band is ±10%).
 
     The small first point keeps compile cost down (only the DIFFERENCE in
     unroll counts matters for the estimate; a 10+30 pair took >20 min to
     compile on the remote helper, 2+12 compiles in ~round-1 time)."""
-    from cerberusnet_tpu.utils.benchutil import time_fn_two_point
+    from cerberusnet_tpu.utils.benchutil import time_fn_two_point_rounds
 
     # CERBERUS_BENCH_AUTO_LAYOUT=1: measure with XLA-chosen input layouts
     # (arrays device_put into the compiled formats) — flips the headline to
     # the auto-layout serving convention once the interleaved A/B
     # (tools/ab_forward.py --set layout) confirms the win on hardware.
     auto = os.environ.get("CERBERUS_BENCH_AUTO_LAYOUT", "") == "1"
-    return time_fn_two_point(fn, args, iters=(2, 2 + iters),
-                             reduce_out=reduce_out, auto_layout=auto)
+    return time_fn_two_point_rounds(fn, args, iters=(2, 2 + iters),
+                                    reduce_out=reduce_out, rounds=rounds,
+                                    auto_layout=auto)
+
+
+def _stats(secs, batch):
+    """Per-round slopes -> {fps (median), fps_band [min, max], rounds}."""
+    import statistics
+
+    fps = sorted(batch / s for s in secs)
+    return {
+        "fps": statistics.median(fps),
+        "fps_band": [fps[0], fps[-1]],
+        "rounds": len(fps),
+    }
 
 
 def bench_full3head(batch=2, hw=(512, 1024), iters=10, dtype=jnp.bfloat16,
@@ -74,8 +90,7 @@ def bench_full3head(batch=2, hw=(512, 1024), iters=10, dtype=jnp.bfloat16,
             out["flow"].mean() + out["disp"].mean() + out["seg_logits"].mean()
         ).astype(jnp.float32)
 
-    sec = _loop_time(forward, imgs, iters, reduce_out)
-    return batch / sec  # frames (stereo pairs) per second per chip
+    return _stats(_loop_time(forward, imgs, iters, reduce_out), batch)
 
 
 def bench_head(kind, batch=2, hw=(512, 1024), iters=10, dtype=jnp.bfloat16):
@@ -106,8 +121,7 @@ def bench_head(kind, batch=2, hw=(512, 1024), iters=10, dtype=jnp.bfloat16):
         key = "flow" if kind == "flow" else "disp"
         return out[key].mean().astype(jnp.float32)
 
-    sec = _loop_time(forward, imgs, iters, reduce_out)
-    return batch / sec
+    return _stats(_loop_time(forward, imgs, iters, reduce_out), batch)
 
 
 def bench_cerberus_dcv(batch=1, hw=(512, 1024), iters=10):
@@ -131,8 +145,7 @@ def bench_cerberus_dcv(batch=1, hw=(512, 1024), iters=10):
             out["flow"].mean() + out["disp"].mean() + out["seg_logits"].mean()
         ).astype(jnp.float32)
 
-    sec = _loop_time(forward, imgs, iters, reduce_out)
-    return batch / sec
+    return _stats(_loop_time(forward, imgs, iters, reduce_out), batch)
 
 
 def bench_raft(batch=1, hw=(256, 512), iters=6, raft_iters=12, level=3):
@@ -162,8 +175,7 @@ def bench_raft(batch=1, hw=(256, 512), iters=6, raft_iters=12, level=3):
     def reduce_out(out):
         return out["flow"].mean().astype(jnp.float32)
 
-    sec = _loop_time(forward, imgs, iters, reduce_out)
-    return batch / sec
+    return _stats(_loop_time(forward, imgs, iters, reduce_out), batch)
 
 
 def bench_cerberus_raft(batch=1, hw=(256, 512), iters=6, raft_iters=6,
@@ -192,8 +204,7 @@ def bench_cerberus_raft(batch=1, hw=(256, 512), iters=6, raft_iters=6,
             + out["seg_logits"].astype(jnp.float32).mean()
         )
 
-    sec = _loop_time(forward, imgs, iters, reduce_out)
-    return batch / sec
+    return _stats(_loop_time(forward, imgs, iters, reduce_out), batch)
 
 
 def bench_train_step(batch=2, hw=(512, 1024), iters=5, flatten=False,
@@ -254,15 +265,15 @@ def bench_train_step(batch=2, hw=(512, 1024), iters=5, flatten=False,
 
         return run
 
-    from cerberusnet_tpu.utils.benchutil import time_fn_two_point
+    from cerberusnet_tpu.utils.benchutil import time_fn_two_point_rounds
 
     # floor-cancelling two-point unroll (raises FloorLimitedTiming rather
     # than recording garbage — VERDICT r1 W2)
-    sec = time_fn_two_point(
+    secs = time_fn_two_point_rounds(
         None, (variables["params"], opt_state), iters=(2, 2 + iters),
         build=build,
     )
-    return batch / sec  # training frames/sec/chip
+    return _stats(secs, batch)  # training frames/sec/chip
 
 
 _BENCH_SENTINEL = "/tmp/cerberus_bench_request"
@@ -413,8 +424,11 @@ def main():
     _wait_for_chain_step()
     details = {"device": str(jax.devices()[0]), "hw": [512, 1024]}
 
-    fps = bench_full3head(batch=args.batch, iters=args.iters)
+    head = bench_full3head(batch=args.batch, iters=args.iters)
+    fps = head["fps"]
     details["full3head_bf16_fps"] = fps
+    details["full3head_bf16_fps_band"] = head["fps_band"]
+    details["full3head_bf16_fps_rounds"] = head["rounds"]
 
     torch_fps = None
     if not args.skip_torch:
@@ -456,17 +470,45 @@ def main():
             "cerberus_raft_bf16_256x512_6it_fps": lambda: bench_cerberus_raft(
                 batch=args.batch
             ),
+            # The round-5 promotion row (chain r5a raft_lv4_fullres_onehot:
+            # 144.6 fps): the recommended joint 3-head model at the
+            # CANONICAL 512x1024 resolution — level-4 latent (same 32x64
+            # latent grid as 256x512/level-3), 6 iters, onehot lookup.
+            "cerberus_raft_bf16_512x1024_lv4_6it_fps":
+                lambda: bench_cerberus_raft(
+                    batch=args.batch, hw=(512, 1024), level=4
+                ),
             "train_step_bf16_fps": lambda: bench_train_step(
                 batch=max(args.batch, 2), flatten=True  # trainer default (r3e A/B)
             ),
         }
         for name, fn in subbenches.items():
             try:
-                details[name] = fn()
+                st = fn()
+                details[name] = st["fps"]
+                details[name + "_band"] = st["fps_band"]
+                details[name + "_rounds"] = st["rounds"]
             except Exception as e:  # record, keep going, never lose the run
                 print(f"[bench] {name} failed: {e}", file=sys.stderr)
                 details[name] = None
                 details[f"{name}_error"] = str(e)  # flagged, not silent
+        # Utilization denominators (VERDICT r4 item 8/W4): annotate every
+        # fps row with TFLOP/s and % of the measured matmul ceiling, from
+        # the committed FLOPs table (tools/mfu.py --emit-rows).
+        mfu_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "runs",
+            "mfu_flops.json")
+        if os.path.exists(mfu_path):
+            with open(mfu_path) as f:
+                mfu = json.load(f)
+            ceil = mfu.get("measured_ceiling_tflops") or 0.0
+            for row, fl in mfu.get("rows", {}).items():
+                if details.get(row):
+                    tps = fl * details[row] / 1e12
+                    details[row + "_tflops"] = round(tps, 2)
+                    if ceil:
+                        details[row + "_pct_of_ceiling"] = round(
+                            100.0 * tps / ceil, 1)
         with open("BENCH_details.json", "w") as f:
             json.dump(details, f, indent=2)
 

@@ -148,6 +148,11 @@ def corr_lookup(pyramid, coords, radius: int, impl: str = "gather"):
     impl='onehot': gather-free two-matmul factorization (see
     _corr_lookup_onehot) — identical math.
     """
+    if impl not in ("gather", "onehot"):
+        # ModelConfig.raft_lookup flows here unvalidated; a typo must not
+        # silently select the 12-58x slower gather path (ADVICE r4).
+        raise ValueError(
+            f"corr_lookup impl must be 'gather' or 'onehot', got {impl!r}")
     if impl == "onehot":
         return _corr_lookup_onehot(pyramid, coords, radius)
     b, h, w, _ = coords.shape
@@ -233,6 +238,9 @@ def corr_lookup_1d(pyramid, coords_x, radius: int, impl: str = "gather"):
     impl='onehot': gather-free single-matmul factorization (the 1-D
     instance of _corr_lookup_onehot) — identical math.
     """
+    if impl not in ("gather", "onehot"):
+        raise ValueError(
+            f"corr_lookup_1d impl must be 'gather' or 'onehot', got {impl!r}")
     b, h, w = coords_x.shape
     if impl == "onehot":
         n, p = h * w, 2 * radius + 1
@@ -648,9 +656,12 @@ class RAFTStereoDecoder(nn.Module):
             final_disp, final_mask = disp, mask
 
         up = convex_upsample(final_disp, final_mask, factor)
+        # One disp contract repo-wide: (B, H, W, 1), matching the
+        # CerberusNet family (VERDICT r4 item 6 — the rank-3 fork here was
+        # being patched consumer-by-consumer: panel, tiled, TTA).
         return {
-            "disp": up[..., 0].astype(jnp.float32),
-            "disp_pyramid": {self.level: final_disp[..., 0]},
+            "disp": up.astype(jnp.float32),
+            "disp_pyramid": {self.level: final_disp},
             "disp_iterates": iterates,
         }
 

@@ -300,9 +300,12 @@ def _level_kernel(
 
 
 def _pick_tile(h2, cap=16):
-    """Largest divisor of H/2 that is <= cap (rows per program). Falls back
-    to the largest divisor <= cap for awkward extents (e.g. H/2=50 -> 25),
-    and to h2 itself only when h2 is prime-ish and small.
+    """Rows per program: probe the power-of-two-ish ladder (cap, cap/2, 4)
+    for a divisor of H/2, then fall back to the largest divisor <= cap,
+    then to h2 itself (prime-ish small extents). The ladder deliberately
+    skips intermediate divisors (h2=12 at cap=16 picks 4, not 12): larger
+    tiles only amortize halo work, and the measured VMEM cliff is at the
+    cap, not between ladder rungs.
 
     cap=16: kernel VALUES are lane-padded vregs (a C4=12 lane dim pads to
     128, 10.6x), so a 32-row tile's live set blows the 16 MB VMEM scoped
@@ -502,7 +505,6 @@ def _level_bwd_kernel(
     2T+14 (even) so every stride-2 row selection can slice an even-length
     window and phase-split it (see the forward kernel note): the largest
     is the y1 recompute, ty=2 + 2*t6 = 2T+14 rows."""
-    b = pl.program_id(0)
     i = pl.program_id(1)
     t6 = T + 6
 
@@ -866,6 +868,18 @@ def _enc_bwd(interpret, grad, res, g):
             x, y3, g, k1, b1, k2, b2, k3, b3, interpret=interpret
         )
     if grad == "pallas":
+        # ADVICE r4: the silent VMEM-fit fallback switches gradient
+        # numerics (~1e-3 rel, MXU f32->bf16 rounding) purely as a
+        # function of shape — make the chosen path diagnosable.
+        import warnings
+
+        warnings.warn(
+            "encoder_level grad='pallas' falls back to the XLA-recompute "
+            f"gradient at input shape {tuple(res[0].shape)} (reverse-sweep "
+            "kernel exceeds the 16 MB scoped-VMEM budget; see "
+            "_bwd_fits_vmem). Gradients are the XLA formulation's.",
+            stacklevel=2,
+        )
         res = res[:7]  # drop the saved y3; the xla path recomputes
     # grad == "xla": gradients of the XLA formulation (identical math):
     # recompute the three cheap convs and pull back through them. Costs one

@@ -112,6 +112,14 @@ class OptimConfig:
     # Exponential moving average of params; 0.0 = off. When on, eval and
     # export use the EMA weights (the deployment-quality weights).
     ema_decay: float = 0.0
+    # "bfloat16": compute gradients w.r.t. bf16-cast params — the whole
+    # backward runs on bf16 tensors and the materialized gradient tree is
+    # bf16 (half the backward copy/materialization bytes); grads are cast
+    # back to f32 before the (f32 master-weight) optimizer update. NOT
+    # math-identical — the round-5 convergence gate is the 20-epoch
+    # held-out evidence protocol (configs/cerberus_evidence_bf16g.json),
+    # not an equality test. "float32" (default) keeps the r3/r4 behavior.
+    grads_dtype: str = "float32"
 
 
 @dataclasses.dataclass

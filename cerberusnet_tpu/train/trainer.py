@@ -571,14 +571,38 @@ class Trainer:
     def _make_train_step(self):
         remat = self.config.train.remat
         ema_decay = self.config.optim.ema_decay
+        grads_dtype = self.config.optim.grads_dtype
+        if grads_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"optim.grads_dtype must be 'float32' or 'bfloat16', "
+                f"got {grads_dtype!r}")
 
         def step(state, batch):
             loss_fn = self._loss_fn
             if remat:
                 loss_fn = jax.checkpoint(loss_fn)
-            (_, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch
-            )
+            if grads_dtype == "bfloat16":
+                # Mixed-precision gradients (round-5 train-frontier lever):
+                # differentiate w.r.t. a bf16 cast of the params, so every
+                # backward tensor — incl. the materialized gradient tree —
+                # is bf16 (half the backward copy bytes the r3 train
+                # profile charges to the small-channel encoder backward).
+                # Master weights and the optimizer stay f32; grads are
+                # upcast at the boundary. Convergence (not equality) is
+                # the gate: configs/cerberus_evidence_bf16g.json.
+                p16 = jax.tree.map(
+                    lambda v: v.astype(jnp.bfloat16)
+                    if v.dtype == jnp.float32 else v,
+                    state.params,
+                )
+                (_, comps), g16 = jax.value_and_grad(
+                    loss_fn, has_aux=True)(p16, batch)
+                grads = jax.tree.map(
+                    lambda g, p: g.astype(p.dtype), g16, state.params
+                )
+            else:
+                (_, comps), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, batch)
             new_state = state.apply_gradients(grads=grads)
             if ema_decay > 0.0:
                 new_state = new_state.replace(
@@ -782,10 +806,8 @@ class Trainer:
         if "flow" in out:
             panel_inputs["flow"] = out["flow"][0]
         if "disp" in out:
-            d = np.asarray(out["disp"][0])
-            # CerberusNet-family disp is (H, W, 1); the RAFT decoders emit
-            # (H, W) (chain r4g raft_evidence panel crash)
-            panel_inputs["disp"] = d[..., 0] if d.ndim == 3 else d
+            # One repo-wide disp contract: (B, H, W, 1) (VERDICT r4 item 6)
+            panel_inputs["disp"] = np.asarray(out["disp"][0, ..., 0])
         panel_path = os.path.join(out_dir, f"{name}_panel.png")
         data_io.write_image_u8(panel_path, vis.summary_panel(panel_inputs))
         return made + [panel_path]
@@ -970,8 +992,7 @@ class Trainer:
         if "flow" in out:
             panel_inputs["flow"] = np.asarray(out["flow"][0])
         if "disp" in out:
-            d = np.asarray(out["disp"][0])
-            panel_inputs["disp"] = d[..., 0] if d.ndim == 3 else d
+            panel_inputs["disp"] = np.asarray(out["disp"][0, ..., 0])
         return vis.summary_panel(panel_inputs)
 
     def dump_visualization(self, path: str):

@@ -228,3 +228,75 @@ def time_fn_two_point(
     if diff <= 0:
         raise FloorLimitedTiming(best[1], best[0], n2 - n1)
     return diff / (n2 - n1)
+
+
+def time_fn_two_point_rounds(
+    fn, args, iters=(10, 30), reduce_out=None, rounds=3, build=None,
+    auto_layout=False,
+):
+    """Per-ROUND two-point slopes: compile once, then measure ``rounds``
+    independent (n1, n2) pairs back-to-back and return the list of
+    positive per-round slopes (seconds/iteration).
+
+    This is the spread protocol VERDICT r4 item 9 requires for committed
+    fps rows: a single two-point slope carries no statement of the
+    backend's ±10% day-band, so BENCH_details rows quote
+    median ± [min..max] over >=3 rounds, exactly like the A/B racer.
+    Raises FloorLimitedTiming when fewer than two rounds produce a
+    positive slope (the work is indistinguishable from per-call noise —
+    increase the unroll counts)."""
+    if reduce_out is None:
+        def reduce_out(out):
+            leaf = jax.tree.leaves(out)[0]
+            return leaf.astype(jnp.float32).mean()
+
+    if build is None:
+        def build(n):
+            @jax.jit
+            def run(*args0):
+                acc = jnp.float32(0)
+                cur = args0
+                for _ in range(n):
+                    out = fn(*cur)
+                    acc = acc + reduce_out(out).astype(jnp.float32)
+                    cur = _perturb(args0, acc)
+                return acc
+
+            return run
+
+    n1, n2 = iters
+    assert n2 > n1 > 0
+    runs = [build(n1), build(n2)]
+    if auto_layout:
+        from jax.experimental.layout import Format, Layout
+
+        bound = []
+        for r in runs:
+            comp = (
+                jax.jit(r, in_shardings=Format(Layout.AUTO))
+                .lower(*args)
+                .compile()
+            )
+            fmts = comp.input_formats[0]
+            put = tuple(jax.device_put(a, f) for a, f in zip(args, fmts))
+            bound.append(lambda c=comp, p=put: c(*p))
+        thunks = bound
+    else:
+        thunks = [(lambda r=r: r(*args)) for r in runs]
+    for t in thunks:
+        _fetch(t())  # compile + warmup
+    slopes = []
+    for _ in range(rounds):
+        walls = []
+        for t in thunks:
+            t0 = time.time()
+            _fetch(t())
+            walls.append(time.time() - t0)
+        diff = walls[1] - walls[0]
+        if diff > 0:
+            slopes.append(diff / (n2 - n1))
+    if len(slopes) < 2:
+        raise FloorLimitedTiming(
+            min(walls), max(walls), n2 - n1
+        )
+    return slopes

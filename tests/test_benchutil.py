@@ -46,6 +46,18 @@ class TestBenchutil:
         assert 0 < t1 and 0 < t2
         assert abs(t1 - t2) < 5 * max(t1, t2)  # loose CPU-noise bound
 
+    def test_two_point_rounds_returns_per_round_slopes(self):
+        """time_fn_two_point_rounds (VERDICT r4 item 9): committed fps rows
+        carry a spread — the tool must return one positive slope per round."""
+        from cerberusnet_tpu.utils.benchutil import time_fn_two_point_rounds
+
+        x = jnp.ones((256, 256), jnp.float32)
+        slopes = time_fn_two_point_rounds(
+            lambda a: jnp.tanh(a @ a), (x,), iters=(4, 12), rounds=3
+        )
+        assert 2 <= len(slopes) <= 3
+        assert all(0 < s < 1.0 for s in slopes)
+
     def test_two_point_custom_build(self):
         calls = []
 

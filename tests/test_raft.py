@@ -189,8 +189,8 @@ class TestRAFTStereoModel:
         assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vu)
         out = jax.jit(m.apply)(v, left, right)
         outu = jax.jit(mu.apply)(v, left, right)
-        assert out["disp"].shape == (1, 64, 64)
-        assert out["disp_pyramid"][3].shape == (1, 8, 8)
+        assert out["disp"].shape == (1, 64, 64, 1)
+        assert out["disp_pyramid"][3].shape == (1, 8, 8, 1)
         assert out["disp_iterates"].shape == (2, 1, 8, 8, 1)
         np.testing.assert_allclose(
             np.asarray(out["disp"]), np.asarray(outu["disp"]), atol=1e-5
@@ -260,7 +260,7 @@ class TestCerberusRAFT:
         out = jax.jit(m.apply)(v, *imgs)
         assert out["seg_logits"].shape == (1, 64, 64, 5)
         assert out["flow"].shape == (1, 64, 64, 2)
-        assert out["disp"].shape == (1, 64, 64)
+        assert out["disp"].shape == (1, 64, 64, 1)
         assert out["flow_iterates"].shape == (2, 1, 8, 8, 2)
         assert out["disp_iterates"].shape == (2, 1, 8, 8, 1)
         for k in ("seg_logits", "flow", "disp"):
@@ -664,11 +664,27 @@ class TestOnehotLookup:
         )
 
 
+class TestLookupImplValidation:
+    def test_typo_impl_raises(self):
+        """A lookup-impl typo must error, not silently select the 12-58x
+        slower gather path (ADVICE r4)."""
+        from cerberusnet_tpu.models.raft import corr_lookup, corr_lookup_1d
+
+        pyr = [jnp.zeros((1, 4, 2, 2), jnp.float32)]
+        coords = jnp.zeros((1, 2, 2, 2), jnp.float32)
+        with pytest.raises(ValueError, match="onehot"):
+            corr_lookup(pyr, coords, 1, impl="one-hot")
+        pyr1 = [jnp.zeros((1, 4, 2), jnp.float32)]
+        with pytest.raises(ValueError, match="onehot"):
+            corr_lookup_1d(pyr1, jnp.zeros((1, 2, 2), jnp.float32), 1,
+                           impl="onehots")
+
+
 class TestRAFTVisualization:
-    def test_panel_renders_with_3d_disp(self, tmp_path):
-        """The RAFT decoders emit disp as (B, H, W) — not the
-        CerberusNet-family (B, H, W, 1) — and the eval panel must handle
-        both (chain r4g raft_evidence crashed in render_panel)."""
+    def test_panel_renders_for_raft_family(self, tmp_path):
+        """The RAFT decoders share the repo-wide (B, H, W, 1) disp contract
+        (VERDICT r4 item 6) and the eval panel must render them (chain r4g
+        raft_evidence crashed in render_panel under the old rank-3 fork)."""
         from cerberusnet_tpu.train.config import (
             DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
         )

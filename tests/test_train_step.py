@@ -116,6 +116,45 @@ class TestTrainStep:
         assert np.isfinite(out["flow_epe"])
 
 
+class TestBf16Gradients:
+    """optim.grads_dtype='bfloat16' (round 5, VERDICT r4 item 3): the
+    backward runs on bf16 tensors with f32 master weights. Not
+    math-identical — these tests pin mechanism (params still f32, training
+    still converges on an overfit batch); the accuracy gate is the
+    held-out evidence protocol (configs/cerberus_evidence_bf16g.json)."""
+
+    def test_loss_decreases_and_params_stay_f32(self):
+        import dataclasses
+
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(cfg.optim, grads_dtype="bfloat16")
+        )
+        tr = Trainer(cfg)
+        ds = SyntheticPerceptionDataset(length=2, hw=(64, 64))
+        batch = next(iter(DataLoader(ds, batch_size=2, num_workers=1)))
+        first = last = None
+        for _ in range(12):
+            comps = tr.train_step(batch)
+            total = float(comps["total"])
+            assert np.isfinite(total)
+            first = total if first is None else first
+            last = total
+        assert last < first, f"bf16-grads loss did not decrease: {first} -> {last}"
+        for leaf in jax.tree.leaves(tr.state.params):
+            assert leaf.dtype == np.float32, leaf.dtype
+
+    def test_invalid_grads_dtype_rejected(self):
+        import dataclasses
+
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(cfg.optim, grads_dtype="fp8")
+        )
+        with pytest.raises(ValueError, match="grads_dtype"):
+            Trainer(cfg)._make_train_step()
+
+
 class TestCheckpointing:
     def test_save_and_resume(self, tmp_path):
         cfg = tiny_config(ckpt_dir=str(tmp_path / "ckpt"), variant="seg")

@@ -72,10 +72,14 @@ def forward_builder(model, variables):
     return build
 
 
-def train_builder(model, variables, imgs):
+def train_builder(model, variables, imgs, grads_bf16=False):
     """build(n) -> jitted n full train steps (fwd + joint loss + backward +
     adamw). The joint loss consumes all heads, and params change every
-    iteration, so nothing is DCE'd or cross-iteration CSE'd."""
+    iteration, so nothing is DCE'd or cross-iteration CSE'd.
+
+    grads_bf16: differentiate w.r.t. bf16-cast params (the optim.
+    grads_dtype="bfloat16" trainer policy — bf16 backward tensors and
+    gradient tree, f32 master weights/optimizer)."""
     import optax
 
     from cerberusnet_tpu.train import losses
@@ -97,13 +101,22 @@ def train_builder(model, variables, imgs):
         total, _ = losses.joint_loss(out, dict(bd, left=left))
         return total
 
+    def grad_fn(params, x):
+        if grads_bf16:
+            p16 = jax.tree.map(
+                lambda v: v.astype(jnp.bfloat16)
+                if v.dtype == jnp.float32 else v, params)
+            g16 = jax.grad(loss_fn)(p16, x)
+            return jax.tree.map(lambda g, p: g.astype(p.dtype), g16, params)
+        return jax.grad(loss_fn)(params, x)
+
     def build(n):
         @jax.jit
         def run(left, right, temporal):
             params, opt_state = variables["params"], opt_state0
             x = left
             for _ in range(n):
-                grads = jax.grad(loss_fn)(params, x)
+                grads = grad_fn(params, x)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 x = left + jax.tree.leaves(params)[0].astype(
@@ -291,6 +304,31 @@ def variant_sets():
             "penc2+layout": dict(pallas_levels=2, _auto_layout=True),
             "penc3+layout": dict(pallas_levels=3, _auto_layout=True),
         },
+        # lane-aligned wide encoder (round 5, VERDICT r4 item 2): the
+        # round-4 irreducibility analysis pins the residual 1.77 ms/step
+        # forward copy bucket (and the dominant train-step backward copy
+        # pool) to C=16/32 channels on 128-lane hardware; this is the
+        # ARCHITECTURE lever it points at — first-level widths 32/64.
+        # NOT math-identical (different param tree -> _own_init; needs its
+        # own held-out evidence, configs/wide_evidence.json).
+        "wide": {
+            "base": dict(),
+            "wide32/64": dict(
+                encoder_channels=(32, 64, 64, 96, 128, 196),
+                _own_init=True),
+        },
+        # bf16-gradient mixed policy (round 5, VERDICT r4 item 3): grads
+        # w.r.t. bf16-cast params — bf16 backward tensors + gradient tree,
+        # f32 master weights/optimizer (optim.grads_dtype). TRAIN-mode
+        # race; convergence gated by the bf16g evidence run, not equality.
+        "gradsdtype": {
+            "base": dict(),
+            "bf16_grads": dict(_grads_bf16=True),
+            # the combination both round-5 train levers point at
+            "wide+bf16": dict(
+                encoder_channels=(32, 64, 64, 96, 128, 196),
+                _own_init=True, _grads_bf16=True),
+        },
         # whole-level space-to-depth (round 3): all convs of the first N
         # encoder levels at 4x channels / half resolution (zero-structured
         # kernels, math-identical) — the systemic candidate against the
@@ -354,6 +392,12 @@ def main():
         kw = dict(kw)
         stack_in = kw.pop("_stack_inputs", False)
         auto_layout = kw.pop("_auto_layout", False)
+        own_init = kw.pop("_own_init", False)
+        grads_bf16 = kw.pop("_grads_bf16", False)
+        if grads_bf16 and not args.train:
+            raise SystemExit(
+                f"variant {name!r} races the gradient dtype policy — "
+                "forward programs have no gradients; use --train")
         if stack_in and args.train:
             # train_builder feeds (left, right, temporal) and a batch dict
             # keyed on the separate frames; the stacked variant takes one
@@ -364,14 +408,19 @@ def main():
                 "builder does not support — race it in forward mode")
         model = CerberusNet(dtype=jnp.bfloat16, **kw)
         if variables is None:
-            # first variant must be un-stacked; all variants share the
-            # identical param tree so one init serves every program
+            # first variant must be un-stacked; math-identical variants
+            # share the identical param tree so one init serves them all
             variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
+        # architecture variants (different param tree) init their own
+        # weights — fine for a timing race, and required for compile
+        v_vars = (jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
+                  if own_init else variables)
         v_imgs = (jnp.concatenate(imgs, axis=0),) if stack_in else imgs
-        builder = (train_builder(model, variables, imgs) if args.train
-                   else forward_builder(model, variables))
+        builder = (train_builder(model, v_vars, imgs,
+                                 grads_bf16=grads_bf16) if args.train
+                   else forward_builder(model, v_vars))
         if args.census and not args.train:
-            c1, cn = census_convs(model, variables, v_imgs, builder, n1)
+            c1, cn = census_convs(model, v_vars, v_imgs, builder, n1)
             if c1 == 0:
                 # The axon remote executable's as_text() carries no countable
                 # convolution ops — the tripwire is vacuous on this backend.

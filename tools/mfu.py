@@ -29,25 +29,108 @@ sys.path.insert(0, "/root/repo")
 V5E_BF16_PEAK_TFLOPS = 197.0  # public v5e spec (bf16, per chip)
 
 
-def _build(name: str, dtype):
+def _build(name: str, dtype, **kw):
     import jax
     import jax.numpy as jnp
 
     from cerberusnet_tpu import models
 
     if name == "cerberus":
-        return models.CerberusNet(dtype=dtype), 3
+        return models.CerberusNet(dtype=dtype, **kw), 3
     if name == "dcv":
-        return models.CerberusDCV(dtype=dtype), 3
+        return models.CerberusDCV(dtype=dtype, **kw), 3
     if name == "raft":
-        return models.RAFTFlowNet(dtype=dtype), 2
+        return models.RAFTFlowNet(dtype=dtype, **kw), 2
+    if name == "cerberusraft":
+        return models.CerberusRAFT(dtype=dtype, **kw), 3
     if name == "seg":
-        return models.SegNet(dtype=dtype), 1
+        return models.SegNet(dtype=dtype, **kw), 1
     if name == "flow":
-        return models.FlowNet(dtype=dtype), 2
+        return models.FlowNet(dtype=dtype, **kw), 2
     if name == "stereo":
-        return models.StereoNet(dtype=dtype), 2
+        return models.StereoNet(dtype=dtype, **kw), 2
     raise SystemExit(f"unknown model {name}")
+
+
+# FLOPs spec for every committed BENCH_details row (VERDICT r4 item 8/W4:
+# throughput claims must ship their utilization denominator — DCV at 189
+# fps and CerberusRAFT at 274 fps had no MFU rows). Evaluated DIRECTLY at
+# each row's true shape: the affine-in-pixels fit is wrong for the RAFT
+# family, whose all-pairs volume is QUADRATIC in the pixel count.
+BENCH_ROWS = {
+    "full3head_bf16_fps": ("cerberus", (512, 1024), {}),
+    "seg_fp32_fps": ("seg", (512, 1024), {}),
+    "stereo_bf16_fps": ("stereo", (512, 1024), {}),
+    "flow_bf16_fps": ("flow", (512, 1024), {}),
+    "cerberus_dcv_bf16_fps": ("dcv", (512, 1024), {}),
+    "raft_bf16_256x512_fps": ("raft", (256, 512), {}),
+    "cerberus_raft_bf16_256x512_6it_fps":
+        ("cerberusraft", (256, 512), dict(iters=6)),
+    "cerberus_raft_bf16_512x1024_lv4_6it_fps":
+        ("cerberusraft", (512, 1024), dict(iters=6, level=4)),
+}
+
+
+def train_step_flops(hw=(512, 1024), batch=1):
+    """FLOPs of one full train step (fwd + joint loss + bwd + adamw) via
+    XLA's cost model on the actual jitted program (the same program family
+    bench.bench_train_step times)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tools.ab_forward import train_builder
+
+    model, _ = _build("cerberus", jnp.bfloat16)
+    h, w = hw
+    imgs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (batch, h, w, 3),
+                          jnp.bfloat16)
+        for i in range(3)
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
+    compiled = train_builder(model, variables, imgs)(1).lower(*imgs).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return float(cost["flops"]) / batch
+
+
+def emit_rows(out_path: str, ceiling_tflops: float):
+    """Compute FLOPs/frame for every BENCH_details row at its true shape
+    (CPU backend, XLA cost model) and write the table bench.py --all uses
+    to annotate each fps row with TFLOP/s and %-of-measured-ceiling."""
+    import json
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    rows = {}
+    for row, (name, hw, kw) in BENCH_ROWS.items():
+        model, n_in = _build(name, jnp.bfloat16, **kw)
+        fl = flops_at(model, n_in, hw)
+        rows[row] = fl
+        print(f"[mfu] {row}: {fl / 1e12:.4f} TFLOP/frame @ {hw[0]}x{hw[1]}",
+              flush=True)
+    fl = train_step_flops()
+    rows["train_step_bf16_fps"] = fl
+    print(f"[mfu] train_step_bf16_fps: {fl / 1e12:.4f} TFLOP/frame "
+          "(fwd+loss+bwd+adamw)", flush=True)
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "measured_ceiling_tflops": ceiling_tflops,
+                "note": "FLOPs/frame, XLA cost model at each row's true "
+                        "shape (direct, no affine fit — RAFT rows are "
+                        "quadratic in pixels); ceiling = "
+                        "tools/matmul_sol.py chained 4096^3 bf16 slope",
+                "rows": rows,
+            },
+            f,
+            indent=2,
+        )
+    print(f"[mfu] wrote {out_path}", flush=True)
 
 
 def flops_at(model, n_in, hw, batch=1):
@@ -109,7 +192,18 @@ def main():
                     help="measured fps/chip to convert into TFLOP/s")
     ap.add_argument("--peak", type=float, default=V5E_BF16_PEAK_TFLOPS,
                     help="chip peak TFLOP/s for the utilization column")
+    ap.add_argument("--emit-rows", default=None, metavar="PATH",
+                    help="write the per-BENCH-row FLOPs table (see "
+                    "BENCH_ROWS) to PATH and exit; bench.py --all reads "
+                    "runs/mfu_flops.json to annotate every committed row")
+    ap.add_argument("--ceiling", type=float, default=181.3,
+                    help="measured chip matmul ceiling TFLOP/s "
+                    "(tools/matmul_sol.py, chain r3a)")
     args = ap.parse_args()
+
+    if args.emit_rows:
+        emit_rows(args.emit_rows, args.ceiling)
+        return
 
     names = [args.model] if args.model else [
         "cerberus", "dcv", "raft", "seg", "flow", "stereo"

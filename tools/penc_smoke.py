@@ -33,15 +33,23 @@ def main():
     failures = 0
 
     # --- 1. raw kernel, small shapes, f32 + bf16
-    # f32 tolerances are 2e-3, not ~1e-5: the MXU rounds f32 matmul
-    # operands to bf16 at the only precision Mosaic supports, so the f32
-    # kernel path carries ~1e-3 relative error vs XLA's conv (see
-    # encoder_level._dot; the production bf16 path has no such gap).
+    # Tolerance policy (VERDICT r4 item 5 + ADVICE r4): each case carries
+    # the tightest tolerance its measured hardware behavior supports, so
+    # rc=0 means "documented contract holds" and rc=1 means "real
+    # regression" — never a permanently-red gate.
+    #   * c=3 f32 cases measured 1.3e-07 / 3.4e-06 on hardware (chain
+    #     r4g): tight 1e-5 keeps regression-catching power.
+    #   * the 16->32 f32 case hits the documented MXU exception — Mosaic
+    #     supports only bf16 operand precision, so f32 matmul operands
+    #     round to bf16 (~1e-3 rel; see encoder_level._dot). Measured
+    #     6.6e-04; budget 2e-3. This is the contract, not a regression.
+    #   * the production bf16 path measured 7.2e-03 (accumulation-order
+    #     difference vs XLA's conv at f32 accumulation): budget 3e-2.
     for (b, h, w, c, f, dt, tol) in [
-        (1, 32, 64, 3, 16, jnp.float32, 2e-3),
-        (2, 64, 128, 3, 16, jnp.float32, 2e-3),
+        (1, 32, 64, 3, 16, jnp.float32, 1e-5),
+        (2, 64, 128, 3, 16, jnp.float32, 1e-5),
         (1, 256, 512, 16, 32, jnp.float32, 2e-3),
-        (1, 512, 1024, 3, 16, jnp.bfloat16, 0.1),
+        (1, 512, 1024, 3, 16, jnp.bfloat16, 3e-2),
     ]:
         ks = jax.random.split(jax.random.PRNGKey(b * h + w), 7)
         x = jax.random.normal(ks[0], (b, h, w, c), dt)
@@ -90,7 +98,9 @@ def main():
         bb = np.asarray(o1[k], np.float32)
         scale = max(1.0, float(np.abs(a).max()))
         diff = float(np.abs(a - bb).max()) / scale
-        ok = diff < 0.05
+        # Measured on hardware (chain r4g): flow 7.8e-3 / disp 9.5e-3 /
+        # seg 1.4e-3 — bf16 accumulation-order scale, budget 3e-2.
+        ok = diff < 0.03
         failures += 0 if ok else 1
         print(f"[penc_smoke] cerberus.{k}: max rel diff {diff:.2e} "
               f"({'OK' if ok else 'FAIL'})", flush=True)
