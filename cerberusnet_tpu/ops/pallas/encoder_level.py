@@ -1,5 +1,17 @@
 """Fused pyramid-encoder level: one Pallas TPU kernel per level (round 4).
 
+STATUS (round 5): RETIRED OPT-IN. The forward race tied within variance
+(chain r4g: lv3 -4.2% vs 3.2 ms spread), the reverse-sweep kernel cannot
+compile inside a train unroll on this tunnel (remote-helper OOM) and
+exceeds scoped VMEM at level 1, and the >=120 fps mission the kernels
+served is now met by CerberusRAFT level-4 at the canonical resolution
+(144.6 fps, chain r5a). The deep-fold variant was evaluated and declined
+(BASELINE.md round-5 "Fused Pallas encoder levels: RETIRED"). The kernels
+remain equality-pinned (tests/test_pallas_encoder.py), hardware-verified
+(tools/penc_smoke.py rc=0), and usable via `pallas_levels`/`pallas_grad`;
+the Mosaic backend limitations documented below are reference material
+for future kernels.
+
 Motivation (VERDICT r3 item 2 / missing #1): the honest forward profile
 charges 1.78 ms/step of layout copies to the small-channel encoder levels
 (`runs/profiles/forward_512x1024_b1_r3.txt`, 'copy' by source -> leaky), and

@@ -71,28 +71,23 @@ BENCH_ROWS = {
 }
 
 
-def train_step_flops(hw=(512, 1024), batch=1):
-    """FLOPs of one full train step (fwd + joint loss + bwd + adamw) via
-    XLA's cost model on the actual jitted program (the same program family
-    bench.bench_train_step times)."""
-    import jax
+def train_step_flops(hw=(512, 1024)):
+    """FLOPs/frame of one full train step: the standard fwd+bwd counting
+    convention, 3x the forward model FLOPs (each conv's backward is one
+    data-gradient conv + one weight-gradient conv; the optimizer update is
+    O(params) — negligible next to the conv work).
+
+    Why not XLA's cost model on the actual train program: measured here
+    (2026-08-21, CPU backend, 128x256), cost_analysis() reports the
+    fwd+loss+bwd+adamw program at 0.54x the forward-only program — a
+    physically impossible ratio (the hardware-measured time ratio is
+    ~3.5x, BASELINE r3e breakdown), i.e. the cost model does not count
+    the gradient convolutions' FLOPs. The 3x convention is the honest
+    denominator available."""
     import jax.numpy as jnp
 
-    from tools.ab_forward import train_builder
-
-    model, _ = _build("cerberus", jnp.bfloat16)
-    h, w = hw
-    imgs = tuple(
-        jax.random.normal(jax.random.PRNGKey(i), (batch, h, w, 3),
-                          jnp.bfloat16)
-        for i in range(3)
-    )
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *imgs)
-    compiled = train_builder(model, variables, imgs)(1).lower(*imgs).compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, list):
-        cost = cost[0]
-    return float(cost["flops"]) / batch
+    model, n_in = _build("cerberus", jnp.bfloat16)
+    return 3.0 * flops_at(model, n_in, hw)
 
 
 def emit_rows(out_path: str, ceiling_tflops: float):
